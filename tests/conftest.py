@@ -1,0 +1,145 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated on CPU via
+``--xla_force_host_platform_device_count=8`` (SURVEY.md §4 test plan); real
+TPU execution is exercised by ``bench.py`` / the driver.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+# --------------------------------------------------------------------- #
+# Toy corpus fixture: 4 files forming a diamond import DAG
+#
+#   d.lean -> b.lean -> a.lean
+#   d.lean -> c.lean -> a.lean
+#
+# a: Nat.gcd premises (the README's canonical gcd examples)
+# b: two lemmas; c: one lemma; d: theorems whose proofs use them.
+# --------------------------------------------------------------------- #
+
+
+def _toy_corpus_records():
+    def prem(name, start, end, code):
+        return {"full_name": name, "start": start, "end": end, "code": code}
+
+    return [
+        {
+            "path": "a.lean",
+            "imports": [],
+            "premises": [
+                prem(
+                    "Nat.gcd",
+                    [1, 1],
+                    [4, 40],
+                    "def Nat.gcd : Nat → Nat → Nat\n| 0 y := y\n"
+                    "| (succ x) y := gcd (y % succ x) (succ x)",
+                ),
+                prem(
+                    "Nat.gcd_zero_left",
+                    [6, 1],
+                    [6, 60],
+                    "@[simp] theorem Nat.gcd_zero_left (x : Nat) : gcd 0 x = x",
+                ),
+                prem(
+                    "Nat.gcd_succ",
+                    [8, 1],
+                    [8, 80],
+                    "@[simp] theorem Nat.gcd_succ (x y : Nat) : "
+                    "gcd (succ x) y = gcd (y % succ x) (succ x)",
+                ),
+                prem(
+                    "Nat.mod_self",
+                    [10, 1],
+                    [10, 55],
+                    "@[simp] theorem Nat.mod_self (n : Nat) : n % n = 0",
+                ),
+            ],
+        },
+        {
+            "path": "b.lean",
+            "imports": ["a.lean"],
+            "premises": [
+                prem(
+                    "forall_true_iff",
+                    [2, 1],
+                    [2, 50],
+                    "theorem forall_true_iff : (α → true) ↔ true",
+                ),
+                prem(
+                    "b_late_lemma",
+                    [20, 1],
+                    [20, 40],
+                    "theorem b_late_lemma : 1 = 1",
+                ),
+            ],
+        },
+        {
+            "path": "c.lean",
+            "imports": ["a.lean"],
+            "premises": [
+                prem(
+                    "X_sub_C_ne_zero",
+                    [3, 1],
+                    [3, 60],
+                    "theorem X_sub_C_ne_zero (r : R) : X - C r ≠ 0",
+                ),
+                # Ill-formed premises that File.from_data must drop:
+                prem(None, [4, 1], [4, 10], "bogus"),
+                prem("foo.user__.n.bar", [5, 1], [5, 10], "bogus"),
+                prem("empty_code", [6, 1], [6, 10], ""),
+                prem("[mutual, defs]", [7, 1], [7, 10], "bogus"),
+            ],
+        },
+        {
+            "path": "d.lean",
+            "imports": ["b.lean", "c.lean"],
+            "premises": [
+                prem(
+                    "gcd_self",
+                    [5, 1],
+                    [7, 30],
+                    "theorem gcd_self (n : Nat) : gcd n n = n",
+                ),
+                prem(
+                    "d_late",
+                    [30, 1],
+                    [30, 20],
+                    "theorem d_late : 2 = 2",
+                ),
+            ],
+        },
+    ]
+
+
+@pytest.fixture(scope="session")
+def toy_corpus_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("corpus") / "corpus.jsonl"
+    with open(path, "w") as f:
+        for rec in _toy_corpus_records():
+            f.write(json.dumps(rec) + "\n")
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def toy_corpus(toy_corpus_path):
+    from reprover_tpu.data import Corpus
+
+    return Corpus(toy_corpus_path)
