@@ -7,7 +7,11 @@ TPU execution is exercised by ``bench.py`` / the driver.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session env points at a TPU (JAX_PLATFORMS=axon):
+# tests validate semantics + sharding on a virtual 8-device CPU mesh; real-TPU
+# execution is bench.py's job.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +23,14 @@ import sys
 from pathlib import Path
 
 import pytest
+
+# jaxtyping's pytest plugin imports jax before this conftest runs, freezing
+# the platform choice from the session env (axon/TPU). jax reads the config
+# lazily at backend init, so overriding the config here still wins as long as
+# no array has been created yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
