@@ -1,0 +1,125 @@
+"""PartitionSpecs for T5 params, optimizer state, and batches.
+
+Parallelism mapping from the reference (SURVEY.md §2.3):
+
+- DeepSpeed ZeRO-2 (grad/optimizer-state sharding over data-parallel ranks)
+  -> ``zero_partition_specs``: optimizer moments sharded over ``data``;
+  params stay replicated (grads all-reduce over ICI, like ZeRO-2).
+- vLLM tensor parallelism -> ``param_partition_specs(model_parallel=True)``:
+  Megatron-style column/row splits of attention and MLP over ``model``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from reprover_tpu.models.t5 import Params, T5Config
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``; rest replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def _attn_specs(layered: bool) -> Dict[str, P]:
+    """Megatron split: q/k/v column-parallel (head dim), o row-parallel."""
+    l = (None,) if layered else ()
+    return {
+        "q": P(*l, None, "model"),
+        "k": P(*l, None, "model"),
+        "v": P(*l, None, "model"),
+        "o": P(*l, "model", None),
+    }
+
+
+def _mlp_specs(layered: bool) -> Dict[str, P]:
+    l = (None,) if layered else ()
+    return {
+        "wi_0": P(*l, None, "model"),
+        "wi_1": P(*l, None, "model"),
+        "wo": P(*l, "model", None),
+    }
+
+
+def param_partition_specs(
+    params: Params, cfg: T5Config, model_parallel: bool = False
+) -> Params:
+    """PartitionSpec pytree matching ``params``.
+
+    ``model_parallel=False`` replicates everything (pure DP — byt5-small fits
+    easily); ``True`` shards attention heads and the MLP hidden dim over
+    ``model`` (serving-engine TP). ``d_kv`` stays whole: the split lands on
+    the head axis because inner_dim = heads * d_kv is the stored axis.
+    """
+    if not model_parallel:
+        return jax.tree.map(lambda _: P(), params)
+
+    norm = P(None, None)  # [L, d_model]
+    out: Params = {
+        "shared_embedding": P(None, None),
+        "encoder": {
+            "rel_bias": P(),
+            "layers": {
+                "attn": _attn_specs(True),
+                "attn_norm": norm,
+                "mlp": _mlp_specs(True),
+                "mlp_norm": norm,
+            },
+            "final_norm": P(None),
+        },
+    }
+    if "decoder" in params:
+        out["decoder"] = {
+            "rel_bias": P(),
+            "layers": {
+                "self_attn": _attn_specs(True),
+                "self_norm": norm,
+                "cross_attn": _attn_specs(True),
+                "cross_norm": norm,
+                "mlp": _mlp_specs(True),
+                "mlp_norm": norm,
+            },
+            "final_norm": P(None),
+        }
+    if "lm_head" in params:
+        out["lm_head"] = P(None, "model")
+    return out
+
+
+def zero_partition_specs(params: Params, mesh: Mesh) -> Params:
+    """ZeRO-style optimizer-state sharding specs over the ``data`` axis.
+
+    For each leaf, shard the largest axis divisible by the ``data`` axis size
+    (moments of a replicated param can be sharded freely — optax updates are
+    elementwise, so XLA inserts the reduce-scatter/all-gather pair, which is
+    exactly ZeRO-2's communication pattern). Leaves with no divisible axis
+    stay replicated.
+    """
+    n = mesh.shape["data"]
+
+    def spec(x) -> P:
+        if n <= 1 or x.ndim == 0:
+            return P()
+        order = sorted(range(x.ndim), key=lambda a: -x.shape[a])
+        for axis in order:
+            if x.shape[axis] % n == 0 and x.shape[axis] >= n:
+                parts: list = [None] * x.ndim
+                parts[axis] = "data"
+                return P(*parts)
+        return P()
+
+    return jax.tree.map(spec, params)
+
+
+def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """Place ``tree`` on ``mesh`` according to a matching spec pytree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )

@@ -1,0 +1,243 @@
+"""TPU-native premise retriever.
+
+Capability parity with the reference ``PremiseRetriever``
+(`/root/reference/retrieval/model.py`), re-architected for TPU:
+
+- ``_encode`` = ByT5 encoder -> masked mean-pool -> L2 normalize
+  (`retrieval/model.py:92-114`), as one jit'd program per padded bucket shape.
+- ``reindex_corpus`` (`retrieval/model.py:183-210`) becomes a *length-sorted,
+  bucketed, data-sharded* embed pipeline: premises are sorted by byte length
+  so each padded batch wastes minimal FLOPs, batches are sharded over the
+  mesh ``data`` axis (embed-then-all-gather over ICI), and embeddings scatter
+  back to corpus order on the host.
+- ``retrieve`` (`retrieval/model.py:338-375`) runs the fused masked cosine
+  top-k of :mod:`reprover_tpu.ops.topk` — no host-side filter loop.
+
+Staleness tracking matches the reference: any parameter update marks the
+corpus embeddings stale; queries lazily re-index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reprover_tpu.data import Context, Corpus, IndexedCorpus, Pos, Premise
+from reprover_tpu.models import encode as t5_encode
+from reprover_tpu.models import load_hf_t5
+from reprover_tpu.models.t5 import Params, T5Config
+from reprover_tpu.ops import cosine_topk, masked_mean_normalize
+from reprover_tpu.parallel import batch_sharding, make_mesh
+from reprover_tpu.tokenizer import ByT5Tokenizer, round_to_bucket
+
+
+class PremiseRetriever:
+    """Dense premise retriever over a :class:`Corpus`."""
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: T5Config,
+        max_seq_len: int,
+        num_retrieved: int = 100,
+        mesh=None,
+        bucket_multiple: int = 128,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.max_seq_len = max_seq_len
+        self.num_retrieved = num_retrieved
+        self.mesh = mesh
+        self.bucket_multiple = bucket_multiple
+        self.tokenizer = ByT5Tokenizer()
+        self.corpus: Optional[Corpus] = None
+        self.corpus_embeddings: Optional[jnp.ndarray] = None  # [N, D] fp32
+        self.embeddings_staled = True
+
+        def _encode_fn(params, input_ids, mask):
+            hidden = t5_encode(params, self.cfg, input_ids, mask)
+            return masked_mean_normalize(hidden, mask)
+
+        self._encode_jit = jax.jit(_encode_fn)
+
+    # -------------------------------------------------------------- #
+    # Construction / corpus binding
+    # -------------------------------------------------------------- #
+
+    @classmethod
+    def load_hf(
+        cls,
+        ckpt_dir: str,
+        max_seq_len: int,
+        num_retrieved: int = 100,
+        mesh=None,
+        compute_dtype=None,
+    ) -> "PremiseRetriever":
+        """Load an HF retriever checkpoint (encoder-only or full T5).
+
+        Mirrors `retrieval/model.py:52-66`; ``compute_dtype`` defaults to
+        bfloat16 on TPU, float32 elsewhere.
+        """
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16
+                if jax.devices()[0].platform == "tpu"
+                else jnp.float32
+            )
+        params, cfg = load_hf_t5(
+            ckpt_dir, encoder_only=True, compute_dtype=compute_dtype
+        )
+        return cls(params, cfg, max_seq_len, num_retrieved, mesh)
+
+    @property
+    def embedding_size(self) -> int:
+        return self.cfg.d_model
+
+    def load_corpus(
+        self, source: Union[str, Corpus, IndexedCorpus]
+    ) -> None:
+        """Bind a corpus: raw jsonl / Corpus (stale) or IndexedCorpus (fresh)."""
+        if isinstance(source, IndexedCorpus):
+            self.corpus = source.corpus
+            self.corpus_embeddings = jnp.asarray(
+                source.embeddings, dtype=jnp.float32
+            )
+            self.embeddings_staled = False
+            return
+        if isinstance(source, Corpus):
+            self.corpus = source
+        elif source.endswith(".jsonl"):
+            self.corpus = Corpus(source)
+        else:
+            indexed = IndexedCorpus.load(source)
+            self.load_corpus(indexed)
+            return
+        self.corpus_embeddings = None
+        self.embeddings_staled = True
+
+    def mark_stale(self) -> None:
+        """Call after any parameter update (`retrieval/model.py:170-172`)."""
+        self.embeddings_staled = True
+
+    # -------------------------------------------------------------- #
+    # Encoding
+    # -------------------------------------------------------------- #
+
+    def encode_strings(self, texts: Sequence[str]) -> np.ndarray:
+        """Embed a batch of strings -> unit-norm fp32 [B, D] (host array)."""
+        batch = self.tokenizer(
+            texts,
+            max_length=self.max_seq_len,
+            bucket_multiple=self.bucket_multiple,
+        )
+        emb = self._encode_jit(
+            self.params,
+            jnp.asarray(batch.input_ids),
+            jnp.asarray(batch.attention_mask),
+        )
+        return np.asarray(emb)
+
+    def reindex_corpus(self, batch_size: int) -> None:
+        """Re-embed every corpus premise (no-op unless stale).
+
+        Length-sorted bucketed batching: sorting premises by serialized byte
+        length makes each pad-to-bucket batch nearly uniform, cutting padded
+        FLOPs vs the reference's corpus-order encoding
+        (`retrieval/model.py:197-208`). With a mesh, batches are sharded over
+        ``data`` and XLA all-gathers the embedding shards over ICI.
+        """
+        if not self.embeddings_staled:
+            return
+        assert self.corpus is not None, "load_corpus first"
+        serialized = [p.serialize() for p in self.corpus.all_premises]
+        self.corpus_embeddings = jnp.asarray(
+            self._embed_texts(serialized, batch_size), dtype=jnp.float32
+        )
+        self.embeddings_staled = False
+
+    def _embed_texts(self, texts: List[str], batch_size: int) -> np.ndarray:
+        n = len(texts)
+        order = np.argsort([len(t.encode("utf-8")) for t in texts], kind="stable")
+        out = np.zeros((n, self.embedding_size), dtype=np.float32)
+
+        data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
+        step = max(batch_size, data_axis)
+        step -= step % data_axis  # batch divisible by the data axis
+
+        for lo in range(0, n, step):
+            idxs = order[lo : lo + step]
+            chunk = [texts[i] for i in idxs]
+            # Pad the *batch* dimension so sharded shapes stay fixed.
+            pad_rows = (-len(chunk)) % data_axis
+            chunk = chunk + [""] * pad_rows
+            batch = self.tokenizer(
+                chunk,
+                max_length=self.max_seq_len,
+                bucket_multiple=self.bucket_multiple,
+            )
+            ids, mask = jnp.asarray(batch.input_ids), jnp.asarray(
+                batch.attention_mask
+            )
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                ids = jax.device_put(ids, sh)
+                mask = jax.device_put(mask, sh)
+            emb = np.asarray(self._encode_jit(self.params, ids, mask))
+            out[idxs] = emb[: len(idxs)]
+        return out
+
+    # -------------------------------------------------------------- #
+    # Query
+    # -------------------------------------------------------------- #
+
+    def retrieve(
+        self,
+        state: str,
+        file_name: str,
+        theorem_full_name: str,
+        theorem_pos: Pos,
+        k: int,
+    ) -> Tuple[List[Premise], List[float]]:
+        """Single-query premise retrieval (`retrieval/model.py:338-375`)."""
+        ctx = Context(file_name, theorem_full_name, Pos.of(theorem_pos), state)
+        results, scores = self.retrieve_batch([ctx], k)
+        return results[0], scores[0]
+
+    def retrieve_batch(
+        self, contexts: Sequence[Context], k: int
+    ) -> Tuple[List[List[Premise]], List[List[float]]]:
+        """Batched retrieval: encode queries + fused masked top-k on device."""
+        assert self.corpus is not None, "load_corpus first"
+        self.reindex_corpus(batch_size=32)
+
+        if k > len(self.corpus):
+            # Reference parity: requesting more than exist is the same error
+            # as requesting more than are accessible (`common.py:323-324`).
+            raise ValueError(f"fewer than k={k} accessible premises for a query")
+        ctx_emb = self.encode_strings([c.serialize() for c in contexts])
+        mask = self.corpus.accessible_mask_batch(contexts)  # [B, N] bool host
+        values, indices = cosine_topk(
+            jnp.asarray(ctx_emb), self.corpus_embeddings, jnp.asarray(mask), k
+        )
+        values = np.asarray(values)
+        indices = np.asarray(indices)
+        if not np.isfinite(values).all():
+            # Reference parity: fewer than k accessible premises is an error
+            # (`common.py:323-324`).
+            raise ValueError(f"fewer than k={k} accessible premises for a query")
+        results = [
+            [self.corpus.all_premises[int(i)] for i in row] for row in indices
+        ]
+        scores = [[float(v) for v in row] for row in values]
+        return results, scores
+
+    def to_indexed_corpus(self) -> IndexedCorpus:
+        """Snapshot the (fresh) embeddings as a portable artifact."""
+        assert self.corpus is not None and not self.embeddings_staled
+        return IndexedCorpus(
+            self.corpus, np.asarray(self.corpus_embeddings, dtype=np.float32)
+        )
