@@ -1,0 +1,202 @@
+"""Jitted train/eval step builders for the retrieval and generation tasks.
+
+Replaces the reference's LightningModule training plumbing
+(`/root/reference/retrieval/model.py:116-177`,
+`/root/reference/generation/model.py:101-132`) with the idiomatic JAX shape:
+a pure loss function + one donated, mesh-sharded, jit'd update step.
+
+Parallelism (SURVEY.md §2.3):
+- batch arrays are sharded over the mesh ``data`` axis (DP);
+- optimizer moments are sharded over ``data`` (ZeRO-2 equivalent — optax
+  updates are elementwise, XLA inserts the reduce-scatter/all-gather pair);
+- params can additionally be Megatron-sharded over ``model`` (TP) via
+  :func:`reprover_tpu.parallel.param_partition_specs`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from reprover_tpu.models.t5 import (
+    Params,
+    T5Config,
+    encode,
+    forward_loss,
+)
+from reprover_tpu.ops import masked_mean_normalize
+from reprover_tpu.parallel import (
+    param_partition_specs,
+    zero_partition_specs,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    """Step counter + params + optimizer state, as one donatable pytree."""
+
+    step: jnp.ndarray
+    params: Params
+    opt_state: Any
+
+    def tree_flatten(self):
+        return (self.step, self.params, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+# ------------------------------------------------------------------ #
+# Loss functions
+# ------------------------------------------------------------------ #
+
+
+def retrieval_loss(
+    params: Params,
+    cfg: T5Config,
+    batch: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """In-batch-negative MSE loss (`retrieval/model.py:116-140`).
+
+    Encoder runs ONCE over the stacked [B + B*(1+n), L] context+premise
+    tensor when shapes agree (single big MXU matmul chain), else twice.
+    similarity = ctx_emb @ premise_emb.T in fp32; loss = MSE against the
+    binary multi-positive label matrix — deliberately *not* InfoNCE
+    (parity-critical, SURVEY.md §7.2).
+    """
+    ctx_ids, ctx_mask = batch["context_ids"], batch["context_mask"]
+    prem_ids, prem_mask = batch["premise_ids"], batch["premise_mask"]
+
+    if ctx_ids.shape[1] == prem_ids.shape[1]:
+        ids = jnp.concatenate([ctx_ids, prem_ids], axis=0)
+        mask = jnp.concatenate([ctx_mask, prem_mask], axis=0)
+        emb = masked_mean_normalize(encode(params, cfg, ids, mask), mask)
+        ctx_emb, prem_emb = emb[: ctx_ids.shape[0]], emb[ctx_ids.shape[0] :]
+    else:
+        ctx_emb = masked_mean_normalize(
+            encode(params, cfg, ctx_ids, ctx_mask), ctx_mask
+        )
+        prem_emb = masked_mean_normalize(
+            encode(params, cfg, prem_ids, prem_mask), prem_mask
+        )
+
+    similarity = jnp.dot(
+        ctx_emb, prem_emb.T, preferred_element_type=jnp.float32
+    )
+    return jnp.mean(jnp.square(similarity - batch["label"]))
+
+
+def generation_loss(
+    params: Params,
+    cfg: T5Config,
+    batch: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """Teacher-forced seq2seq CE with -100 masking
+    (`generation/model.py:101-111`)."""
+    return forward_loss(
+        params, cfg, batch["state_ids"], batch["state_mask"], batch["tactic_ids"]
+    )
+
+
+# ------------------------------------------------------------------ #
+# Step builders
+# ------------------------------------------------------------------ #
+
+LossFn = Callable[[Params, T5Config, Dict[str, jnp.ndarray]], jnp.ndarray]
+
+
+def make_train_step(
+    loss_fn: LossFn,
+    cfg: T5Config,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    model_parallel: bool = False,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, jnp.ndarray]]:
+    """Build a donated, jit'd ``(state, batch) -> (state, loss)`` step.
+
+    With a mesh, params follow their (replicated or TP) specs, optimizer
+    moments are ZeRO-sharded over ``data``, and batches are DP-sharded; the
+    gradient all-reduce and moment reduce-scatter ride ICI, inserted by XLA
+    from the output shardings.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, cfg, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, new_params, new_opt),
+            loss,
+        )
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+
+    # Shardings: params per spec, opt state ZeRO-sharded, batch DP-sharded.
+    def state_shardings(state: TrainState) -> TrainState:
+        pspecs = param_partition_specs(state.params, cfg, model_parallel)
+        ospecs = zero_partition_specs(state.opt_state, mesh)
+        to_sh = lambda tree: jax.tree.map(
+            lambda s: NamedSharding(mesh, s), tree
+        )
+        return TrainState(
+            NamedSharding(mesh, P()), to_sh(pspecs), to_sh(ospecs)
+        )
+
+    def batch_shardings(batch: Dict[str, jnp.ndarray]):
+        return {
+            k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+            for k, v in batch.items()
+        }
+
+    jitted: Dict[Any, Callable] = {}
+
+    def dispatch(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        key = tuple(sorted((k, v.shape) for k, v in batch.items()))
+        fn = jitted.get(key)
+        if fn is None:
+            fn = jax.jit(
+                step,
+                in_shardings=(state_shardings(state), batch_shardings(batch)),
+                out_shardings=(state_shardings(state), NamedSharding(mesh, P())),
+                donate_argnums=0,
+            )
+            jitted[key] = fn
+        return fn(state, batch)
+
+    return dispatch
+
+
+def make_eval_step(
+    loss_fn: LossFn, cfg: T5Config, mesh: Optional[Mesh] = None
+) -> Callable[[Params, Dict[str, jnp.ndarray]], jnp.ndarray]:
+    def step(params: Params, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        return loss_fn(params, cfg, batch)
+
+    return jax.jit(step)
+
+
+def numeric_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Keep only the array fields of a collated batch (jit inputs)."""
+    import numpy as np
+
+    return {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if isinstance(v, (jnp.ndarray, np.ndarray))
+    }

@@ -155,3 +155,86 @@ def toy_corpus(toy_corpus_path):
     from reprover_tpu.data import Corpus
 
     return Corpus(toy_corpus_path)
+
+
+# --------------------------------------------------------------------- #
+# Toy theorem dataset (LeanDojo Benchmark json schema) over the toy corpus
+# --------------------------------------------------------------------- #
+
+
+def _toy_theorems():
+    def thm(file_path, full_name, start, end, tactics):
+        return {
+            "url": "https://example.com/repo",
+            "commit": "0" * 40,
+            "file_path": file_path,
+            "full_name": full_name,
+            "start": start,
+            "end": end,
+            "traced_tactics": tactics,
+        }
+
+    def tac(tactic, annotated, provs, before, after):
+        return {
+            "tactic": tactic,
+            "annotated_tactic": [annotated, provs],
+            "state_before": before,
+            "state_after": after,
+        }
+
+    prov_gcd_succ = {
+        "full_name": "Nat.gcd_succ",
+        "def_path": "a.lean",
+        "def_pos": [8, 1],
+        "def_end_pos": [8, 80],
+    }
+    prov_mod_self = {
+        "full_name": "Nat.mod_self",
+        "def_path": "a.lean",
+        "def_pos": [10, 1],
+        "def_end_pos": [10, 55],
+    }
+    return [
+        thm(
+            "d.lean",
+            "gcd_self",
+            [5, 1],
+            [7, 30],
+            [
+                tac(
+                    "rw [Nat.gcd_succ]",
+                    "rw [<a>Nat.gcd_succ</a>]",
+                    [prov_gcd_succ],
+                    "n : ℕ\n⊢ gcd n n = n",
+                    "n : ℕ\n⊢ gcd (n % n) n = n",
+                ),
+                tac(
+                    "simp [Nat.mod_self]",
+                    "simp [<a>Nat.mod_self</a>]",
+                    [prov_mod_self],
+                    "n : ℕ\n⊢ gcd (n % n) n = n",
+                    "no goals",
+                ),
+            ],
+        ),
+        thm(
+            "d.lean",
+            "d_late",
+            [30, 1],
+            [30, 20],
+            [
+                tac("rfl", "rfl", [], "⊢ 2 = 2", "no goals"),
+            ],
+        ),
+    ]
+
+
+@pytest.fixture(scope="session")
+def toy_dataset_dir(tmp_path_factory):
+    """train/val/test .json files (same toy theorems in each split)."""
+    d = tmp_path_factory.mktemp("dataset")
+    theorems = _toy_theorems()
+    for split in ("train", "val", "test"):
+        with open(d / f"{split}.json", "w") as f:
+            json.dump(theorems, f)
+    return str(d)

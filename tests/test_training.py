@@ -1,0 +1,181 @@
+"""Tests for the training subsystem: schedule, train steps, sharded steps.
+
+Parity targets: `/root/reference/common.py:381-405` (AdamW +
+constant-with-warmup), `/root/reference/retrieval/model.py:116-140` (MSE
+in-batch-negative loss), `/root/reference/generation/model.py:101-111` (CE).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reprover_tpu.models.t5 import T5Config, init_params
+from reprover_tpu.parallel import make_mesh
+from reprover_tpu.training import (
+    constant_warmup_schedule,
+    generation_loss,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    retrieval_loss,
+)
+
+TINY = T5Config(
+    vocab_size=384,
+    d_model=32,
+    d_kv=8,
+    d_ff=64,
+    num_heads=4,
+    num_encoder_layers=2,
+    num_decoder_layers=2,
+)
+
+
+def _retrieval_batch(rng, b=8, n=1, length=16):
+    ids = rng.integers(3, 200, size=(b, length)).astype(np.int32)
+    prem = rng.integers(3, 200, size=(b * (1 + n), length)).astype(np.int32)
+    label = np.zeros((b, b * (1 + n)), dtype=np.float32)
+    label[np.arange(b), np.arange(b)] = 1.0
+    return {
+        "context_ids": jnp.asarray(ids),
+        "context_mask": jnp.ones((b, length), jnp.int32),
+        "premise_ids": jnp.asarray(prem),
+        "premise_mask": jnp.ones((b * (1 + n), length), jnp.int32),
+        "label": jnp.asarray(label),
+    }
+
+
+def _generation_batch(rng, b=8, src=16, tgt=8):
+    state_ids = rng.integers(3, 200, size=(b, src)).astype(np.int32)
+    tactic_ids = rng.integers(3, 200, size=(b, tgt)).astype(np.int32)
+    tactic_ids[:, -2:] = -100  # padding region
+    return {
+        "state_ids": jnp.asarray(state_ids),
+        "state_mask": jnp.ones((b, src), jnp.int32),
+        "tactic_ids": jnp.asarray(tactic_ids),
+    }
+
+
+class TestSchedule:
+    def test_constant_warmup(self):
+        sched = constant_warmup_schedule(1e-3, 100)
+        assert float(sched(0)) == 0.0
+        assert float(sched(50)) == pytest.approx(5e-4)
+        assert float(sched(100)) == pytest.approx(1e-3)
+        assert float(sched(100000)) == pytest.approx(1e-3)
+
+    def test_no_warmup(self):
+        sched = constant_warmup_schedule(1e-3, 0)
+        assert float(sched(0)) == pytest.approx(1e-3)
+
+
+class TestTrainSteps:
+    def test_retrieval_loss_decreases(self):
+        rng = np.random.default_rng(0)
+        params = init_params(jax.random.PRNGKey(0), TINY)
+        params.pop("decoder", None)
+        params.pop("lm_head", None)
+        tx = make_optimizer(1e-3, warmup_steps=2)
+        state = init_train_state(params, tx)
+        step = make_train_step(retrieval_loss, TINY, tx)
+        batch = _retrieval_batch(rng)
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_retrieval_loss_mse_formula(self):
+        """Loss == mean((sim - label)^2) over the full matrix."""
+        rng = np.random.default_rng(1)
+        params = init_params(jax.random.PRNGKey(1), TINY)
+        batch = _retrieval_batch(rng, b=4, n=1)
+        loss = retrieval_loss(params, TINY, batch)
+
+        from reprover_tpu.models.t5 import encode
+        from reprover_tpu.ops import masked_mean_normalize
+
+        ctx = masked_mean_normalize(
+            encode(params, TINY, batch["context_ids"], batch["context_mask"]),
+            batch["context_mask"],
+        )
+        prem = masked_mean_normalize(
+            encode(params, TINY, batch["premise_ids"], batch["premise_mask"]),
+            batch["premise_mask"],
+        )
+        sim = np.asarray(ctx) @ np.asarray(prem).T
+        expected = np.mean((sim - np.asarray(batch["label"])) ** 2)
+        assert float(loss) == pytest.approx(float(expected), rel=1e-5)
+
+    def test_mixed_length_batch(self):
+        """Context and premise buckets of different lengths: two encoder
+        passes, still correct."""
+        rng = np.random.default_rng(2)
+        params = init_params(jax.random.PRNGKey(2), TINY)
+        batch = _retrieval_batch(rng, b=4, n=1, length=16)
+        batch["premise_ids"] = jnp.pad(batch["premise_ids"], ((0, 0), (0, 8)))
+        batch["premise_mask"] = jnp.pad(batch["premise_mask"], ((0, 0), (0, 8)))
+        loss = retrieval_loss(params, TINY, batch)
+        assert np.isfinite(float(loss))
+
+    def test_generation_loss_decreases(self):
+        rng = np.random.default_rng(3)
+        params = init_params(jax.random.PRNGKey(3), TINY)
+        tx = make_optimizer(1e-3, warmup_steps=2)
+        state = init_train_state(params, tx)
+        step = make_train_step(generation_loss, TINY, tx)
+        batch = _generation_batch(rng)
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
+class TestShardedTrainStep:
+    def test_mesh_retrieval_step(self):
+        """DP over 8 virtual devices + ZeRO-sharded moments."""
+        mesh = make_mesh(data=8, model=1)
+        rng = np.random.default_rng(4)
+        params = init_params(jax.random.PRNGKey(4), TINY)
+        params.pop("decoder", None)
+        params.pop("lm_head", None)
+        tx = make_optimizer(1e-3, warmup_steps=2)
+        state = init_train_state(params, tx)
+        step = make_train_step(retrieval_loss, TINY, tx, mesh=mesh)
+        batch = _retrieval_batch(rng, b=8, n=1)
+        state, loss1 = step(state, batch)
+        state, _ = step(state, batch)
+        state, loss3 = step(state, batch)
+        assert np.isfinite(float(loss1)) and float(loss3) < float(loss1)
+        # Optimizer moments actually sharded over the data axis.
+        adam_state = state.opt_state[1][0]  # chain(clip, adamw) -> adamw
+        assert any(
+            not leaf.sharding.is_fully_replicated
+            for leaf in jax.tree.leaves(adam_state.mu)
+        )
+
+    def test_mesh_matches_single_device(self):
+        """Sharded step computes the same loss as the unsharded step."""
+        rng = np.random.default_rng(5)
+        params = init_params(jax.random.PRNGKey(5), TINY)
+        tx = make_optimizer(1e-3, warmup_steps=2)
+        batch = _generation_batch(rng, b=8)
+
+        # Copy: each step donates (deletes) its input state's buffers.
+        params_b = jax.tree.map(jnp.array, params)
+        state_a = init_train_state(params, tx)
+        step_a = make_train_step(generation_loss, TINY, tx)
+        _, loss_a = step_a(state_a, batch)
+
+        mesh = make_mesh(data=4, model=2)
+        state_b = init_train_state(params_b, tx)
+        step_b = make_train_step(
+            generation_loss, TINY, tx, mesh=mesh, model_parallel=True
+        )
+        _, loss_b = step_b(state_b, batch)
+        assert float(loss_a) == pytest.approx(float(loss_b), rel=2e-4)
