@@ -1,0 +1,72 @@
+"""Headline benchmark: ByT5-small corpus-embedding throughput (premises/sec).
+
+This is the reference's re-indexing hot loop (`retrieval/index.py:33-40`,
+`retrieval/model.py:183-210`): embed every premise with the ByT5-small
+encoder + masked mean-pool + L2 normalize, at the reference's max_seq_len
+of 1024 bytes (worst-case bucket; real indexing also uses shorter buckets).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md). We anchor
+against an analytic estimate of the reference stack (HF torch ByT5-small on
+1x A100 80GB): ~0.46 TFLOP per 1024-byte premise through the 12-layer
+encoder, at ~30% MFU of 312 bf16 TFLOP/s => ~200 premises/sec.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_PREMISES_PER_SEC = 200.0
+SEQ_LEN = 1024
+
+
+def main() -> None:
+    from reprover_tpu.models.t5 import byt5_small, encode, init_params
+    from reprover_tpu.ops import masked_mean_normalize
+
+    cfg = byt5_small(compute_dtype=jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # Store weights in bf16 so HBM reads are not 2x inflated by fp32 casts.
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def embed(params, ids, mask):
+        return masked_mean_normalize(encode(params, cfg, ids, mask), mask)
+
+    def sync(x):
+        # block_until_ready is a no-op through the axon tunnel; a tiny host
+        # fetch is the reliable fence.
+        return np.asarray(x[:1, :1])
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    for batch in (64, 128):
+        ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (batch, SEQ_LEN)), jnp.int32)
+        mask = jnp.ones((batch, SEQ_LEN), jnp.int32)
+        sync(embed(params, ids, mask))  # compile + warm
+        iters = 4
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = embed(params, ids, mask)
+        sync(out)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "byt5_small_embed_throughput_seq1024",
+                "value": round(best, 2),
+                "unit": "premises/sec",
+                "vs_baseline": round(best / A100_REFERENCE_PREMISES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
