@@ -37,6 +37,10 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
+
+
 # --------------------------------------------------------------------- #
 # Toy corpus fixture: 4 files forming a diamond import DAG
 #
