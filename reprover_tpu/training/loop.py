@@ -1,0 +1,142 @@
+"""The training loop: fit with periodic validation, checkpointing, early stop.
+
+Replaces the Lightning Trainer + callbacks
+(`/root/reference/retrieval/confs/cli_lean4_random.yaml:2-35`):
+
+- donated jit'd train step (from :mod:`reprover_tpu.training.tasks`),
+  batches DP-sharded over the mesh;
+- validation every ``val_interval`` steps calls a task-supplied callback
+  returning a metrics dict (retrieval: reindex + R@k/MRR; generation: loss +
+  Topk accuracy + optional end-to-end Pass@1);
+- :class:`~reprover_tpu.utils.CheckpointManager` keeps best-by-monitor +
+  latest (ModelCheckpoint save_top_k=1 + save_last parity);
+- early stopping on the monitored metric with configurable patience
+  (EarlyStopping parity, patience 5 retrieval / 2 generation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import numpy as np
+
+from reprover_tpu.training.tasks import TrainState, numeric_batch
+from reprover_tpu.utils import CheckpointManager, MetricWriter
+
+logger = logging.getLogger(__name__)
+
+ValidateFn = Callable[[TrainState, int], Dict[str, float]]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 800_000
+    val_interval: int = 5_000  # steps between validations
+    log_interval: int = 50
+    monitor: str = "Recall@10_val"
+    monitor_mode: str = "max"
+    patience: int = 5  # early-stopping checks without improvement
+    ckpt_dir: Optional[str] = None
+    resume: bool = False
+
+
+class Trainer:
+    """Drive (train_step, loaders, validate) to completion."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        train_step,  # (state, batch) -> (state, loss); jit'd + donated
+        writer: MetricWriter,
+        validate_fn: Optional[ValidateFn] = None,
+        on_train_batch_end: Optional[Callable[[], None]] = None,
+    ) -> None:
+        self.config = config
+        self.train_step = train_step
+        self.writer = writer
+        self.validate_fn = validate_fn
+        self.on_train_batch_end = on_train_batch_end
+        self.ckpt: Optional[CheckpointManager] = None
+        if config.ckpt_dir:
+            self.ckpt = CheckpointManager(
+                config.ckpt_dir, monitor=config.monitor, mode=config.monitor_mode
+            )
+
+    def fit(self, state: TrainState, train_loader: Iterable) -> TrainState:
+        cfg = self.config
+        step = int(np.asarray(state.step))
+        if self.ckpt and cfg.resume and self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            step = int(np.asarray(state.step))
+            logger.info("resumed from checkpoint at step %d", step)
+
+        best = -math.inf if cfg.monitor_mode == "max" else math.inf
+        checks_since_improvement = 0
+        t_last = time.monotonic()
+        done = False
+
+        while not done:
+            epoch_had_batches = False
+            for batch in train_loader:
+                epoch_had_batches = True
+                state, loss = self.train_step(state, numeric_batch(batch))
+                step += 1
+                if self.on_train_batch_end is not None:
+                    # e.g. mark corpus embeddings stale
+                    # (`retrieval/model.py:170-172`).
+                    self.on_train_batch_end()
+
+                if step % cfg.log_interval == 0:
+                    now = time.monotonic()
+                    sps = cfg.log_interval / (now - t_last)
+                    t_last = now
+                    self.writer.write(
+                        step, {"loss": float(loss), "steps_per_sec": sps}
+                    )
+
+                if self.validate_fn and step % cfg.val_interval == 0:
+                    metrics = self._validate(state, step)
+                    current = metrics.get(cfg.monitor)
+                    if current is not None:
+                        improved = (
+                            current > best
+                            if cfg.monitor_mode == "max"
+                            else current < best
+                        )
+                        if improved:
+                            best = current
+                            checks_since_improvement = 0
+                        else:
+                            checks_since_improvement += 1
+                        if self.ckpt:
+                            self.ckpt.save(step, state, metrics)
+                        if checks_since_improvement >= cfg.patience:
+                            logger.info(
+                                "early stopping: no %s improvement in %d checks",
+                                cfg.monitor,
+                                cfg.patience,
+                            )
+                            done = True
+                            break
+                if step >= cfg.max_steps:
+                    done = True
+                    break
+            if not epoch_had_batches:
+                break  # empty loader — nothing to train on
+
+        if self.validate_fn and step % cfg.val_interval != 0:
+            metrics = self._validate(state, step)
+            if self.ckpt:
+                self.ckpt.save(step, state, metrics)
+        if self.ckpt:
+            self.ckpt.wait()
+        return state
+
+    def _validate(self, state: TrainState, step: int) -> Dict[str, float]:
+        metrics = self.validate_fn(state, step)
+        self.writer.write(step, metrics)
+        return metrics

@@ -1,0 +1,239 @@
+"""Config system, Trainer loop (ckpt + early stop), and CLI smoke runs
+(the reference's cli_dummy.yaml 1-step smoke, SURVEY.md §4)."""
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+import pytest
+
+from reprover_tpu.utils.config import parse_config
+
+
+# ------------------------------------------------------------------ #
+# Config system
+# ------------------------------------------------------------------ #
+
+
+@dataclasses.dataclass
+class _Inner:
+    lr: float = 1e-4
+    steps: int = 10
+    name: str = "x"
+    maybe: Optional[str] = None
+    flag: bool = False
+
+
+@dataclasses.dataclass
+class _Outer:
+    model: _Inner = dataclasses.field(default_factory=_Inner)
+    data: _Inner = dataclasses.field(default_factory=_Inner)
+    seed: int = 1
+
+
+class TestConfig:
+    def test_defaults_and_overrides(self):
+        sub, cfg = parse_config(
+            _Outer, ["fit", "--model.lr", "3e-5", "--seed", "7", "--model.flag", "true"]
+        )
+        assert sub == "fit"
+        assert cfg.model.lr == pytest.approx(3e-5)
+        assert cfg.seed == 7
+        assert cfg.model.flag is True
+        assert cfg.data.lr == pytest.approx(1e-4)
+
+    def test_yaml_plus_cli(self, tmp_path):
+        conf = tmp_path / "c.yaml"
+        conf.write_text("model:\n  lr: 0.5\n  steps: 99\nseed: 3\n")
+        _, cfg = parse_config(
+            _Outer, ["--config", str(conf), "--model.steps", "5"]
+        )
+        assert cfg.model.lr == 0.5
+        assert cfg.model.steps == 5  # CLI wins
+        assert cfg.seed == 3
+
+    def test_links(self):
+        _, cfg = parse_config(
+            _Outer,
+            ["--data.steps", "42"],
+            links=[("data.steps", "model.steps")],
+        )
+        assert cfg.model.steps == 42
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(ValueError, match="unknown config key"):
+            parse_config(_Outer, ["--model.nope", "1"])
+
+    def test_optional_none(self):
+        _, cfg = parse_config(_Outer, ["--model.maybe", "null"])
+        assert cfg.model.maybe is None
+        _, cfg = parse_config(_Outer, ["--model.maybe", "hello"])
+        assert cfg.model.maybe == "hello"
+
+    def test_equals_syntax(self):
+        _, cfg = parse_config(_Outer, ["--model.lr=0.25"])
+        assert cfg.model.lr == 0.25
+
+
+# ------------------------------------------------------------------ #
+# Trainer: fit + checkpoint + early stopping on a synthetic task
+# ------------------------------------------------------------------ #
+
+
+class TestTrainer:
+    def _make(self, tmp_path, patience=2, max_steps=50, metric_seq=None):
+        import jax.numpy as jnp
+
+        from reprover_tpu.training.loop import Trainer, TrainerConfig
+        from reprover_tpu.training.tasks import TrainState
+        from reprover_tpu.utils.metrics import MetricWriter
+
+        class Recorder(MetricWriter):
+            def __init__(self):
+                self.records = []
+
+            def write(self, step, scalars):
+                self.records.append((step, dict(scalars)))
+
+        # Synthetic "train step": params is one scalar, loss decreases.
+        def step_fn(state, batch):
+            new_params = {"w": state.params["w"] * 0.9}
+            return (
+                TrainState(state.step + 1, new_params, state.opt_state),
+                jnp.asarray(float(np.abs(np.asarray(new_params["w"])).sum())),
+            )
+
+        seq = iter(metric_seq or [])
+
+        def validate(state, step):
+            return {"metric": next(seq, 0.0)}
+
+        writer = Recorder()
+        trainer = Trainer(
+            TrainerConfig(
+                max_steps=max_steps,
+                val_interval=5,
+                log_interval=5,
+                monitor="metric",
+                monitor_mode="max",
+                patience=patience,
+                ckpt_dir=str(tmp_path / "ckpts"),
+            ),
+            step_fn,
+            writer,
+            validate_fn=validate,
+        )
+        state = TrainState(
+            jnp.zeros((), jnp.int32), {"w": jnp.ones((4,))}, {"dummy": jnp.zeros(())}
+        )
+        loader = [{"x": np.zeros((2, 2), np.float32)}] * 100
+        return trainer, state, loader, writer
+
+    def test_runs_to_max_steps(self, tmp_path):
+        trainer, state, loader, writer = self._make(
+            tmp_path, patience=99, max_steps=12, metric_seq=[1, 2, 3, 4, 5]
+        )
+        final = trainer.fit(state, loader)
+        assert int(np.asarray(final.step)) == 12
+
+    def test_early_stopping(self, tmp_path):
+        # metric improves once then plateaus -> stop after patience=2 checks
+        trainer, state, loader, writer = self._make(
+            tmp_path, patience=2, max_steps=1000, metric_seq=[5, 5, 5, 5, 5, 5]
+        )
+        final = trainer.fit(state, loader)
+        # val at steps 5,10,15: improvement at 5, flat at 10 and 15 -> stop
+        assert int(np.asarray(final.step)) == 15
+
+    def test_checkpoint_restore(self, tmp_path):
+        trainer, state, loader, writer = self._make(
+            tmp_path, patience=99, max_steps=10, metric_seq=[1, 2]
+        )
+        final = trainer.fit(state, loader)
+        from reprover_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        import jax.numpy as jnp
+
+        from reprover_tpu.training.tasks import TrainState
+
+        template = TrainState(
+            jnp.zeros((), jnp.int32), {"w": jnp.ones((4,))}, {"dummy": jnp.zeros(())}
+        )
+        restored = mgr.restore(template)
+        np.testing.assert_allclose(
+            np.asarray(restored.params["w"]), np.asarray(final.params["w"])
+        )
+
+
+# ------------------------------------------------------------------ #
+# CLI smoke: 1-step retrieval + generation fits on the toy dataset
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.slow
+class TestCliSmoke:
+    def test_retrieval_fit_validate_predict(
+        self, toy_corpus_path, toy_dataset_dir, tmp_path
+    ):
+        from reprover_tpu.retrieval.main import main
+
+        log_dir = str(tmp_path / "logs")
+        common = [
+            "--model.tiny", "true",
+            "--model.num_retrieved", "4",
+            "--data.data_path", toy_dataset_dir,
+            "--data.corpus_path", toy_corpus_path,
+            "--data.batch_size", "2",
+            "--data.eval_batch_size", "2",
+            "--data.max_seq_len", "256",
+            "--data.num_negatives", "2",
+            "--data.num_in_file_negatives", "1",
+            "--trainer.max_steps", "2",
+            "--trainer.val_interval", "2",
+            "--trainer.log_interval", "1",
+            "--trainer.patience", "99",
+            "--log_dir", log_dir,
+        ]
+        main(["fit"] + common + ["--trainer.ckpt_dir", str(tmp_path / "ck")])
+        assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        assert any("Recall@4_val" in r for r in recs)
+        assert any("loss" in r for r in recs)
+
+        main(["predict"] + common + ["--preds_out", "p.pickle"])
+        with open(os.path.join(log_dir, "p.pickle"), "rb") as f:
+            preds = pickle.load(f)
+        assert len(preds) == 9  # 3 splits x 3 tactics
+
+    def test_generation_fit(self, toy_dataset_dir, tmp_path):
+        from reprover_tpu.generation.main import main
+
+        log_dir = str(tmp_path / "glogs")
+        main(
+            [
+                "fit",
+                "--model.tiny", "true",
+                "--model.num_beams", "2",
+                "--data.data_path", toy_dataset_dir,
+                "--data.batch_size", "2",
+                "--data.eval_batch_size", "2",
+                "--data.max_inp_seq_len", "256",
+                "--data.max_oup_seq_len", "64",
+                "--trainer.max_steps", "2",
+                "--trainer.val_interval", "2",
+                "--trainer.log_interval", "1",
+                "--trainer.monitor", "loss_val",
+                "--trainer.monitor_mode", "min",
+                "--trainer.patience", "99",
+                "--log_dir", log_dir,
+            ]
+        )
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        assert any("loss_val" in r for r in recs)
+        assert any("top2_acc_val" in r for r in recs)
