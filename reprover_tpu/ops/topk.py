@@ -17,7 +17,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Plain Python float: creating a device array at import time would
+# initialize the JAX backend for every consumer of the package.
+NEG_INF = float("-inf")
 
 
 @partial(jax.jit, static_argnames=("k",))

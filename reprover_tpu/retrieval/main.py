@@ -126,7 +126,7 @@ def _build(cfg: RetrievalConfig):
 
 
 def run_fit(cfg: RetrievalConfig) -> None:
-    from reprover_tpu.retrieval.predict import validation_metrics
+    from reprover_tpu.retrieval.prediction import validation_metrics
     from reprover_tpu.training import (
         init_train_state,
         make_optimizer,
@@ -174,7 +174,7 @@ def _restore_params(cfg: RetrievalConfig, retriever) -> None:
 
 
 def run_validate(cfg: RetrievalConfig) -> None:
-    from reprover_tpu.retrieval.predict import validation_metrics
+    from reprover_tpu.retrieval.prediction import validation_metrics
 
     dm, retriever, _, _ = _build(cfg)
     dm.setup("validate")
@@ -187,7 +187,7 @@ def run_validate(cfg: RetrievalConfig) -> None:
 
 
 def run_predict(cfg: RetrievalConfig) -> None:
-    from reprover_tpu.retrieval.predict import predict, save_predictions
+    from reprover_tpu.retrieval.prediction import predict, save_predictions
 
     dm, retriever, _, _ = _build(cfg)
     dm.setup("predict")
