@@ -33,6 +33,7 @@ from reprover_tpu.prover.tactic_generator import (
     RetrievalAugmentedTacticGenerator,
     TacticGenerator,
 )
+from reprover_tpu.prover.api_generator import ApiTacticGenerator
 from reprover_tpu.prover.distributed import DistributedProver
 from reprover_tpu.prover.evaluate import aggregate_pass1, evaluate, get_theorems
 from reprover_tpu.prover.service import InferenceService, ServiceClient
@@ -64,6 +65,7 @@ __all__ = [
     "RemoteTacticGenerator",
     "RetrievalAugmentedTacticGenerator",
     "TacticGenerator",
+    "ApiTacticGenerator",
     "DistributedProver",
     "aggregate_pass1",
     "evaluate",
