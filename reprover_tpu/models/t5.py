@@ -54,6 +54,9 @@ class T5Config:
     decoder_start_token_id: int = 0
     compute_dtype: Any = jnp.float32
     remat: bool = False  # rematerialize each layer's activations in backward
+    # Fused Pallas encoder self-attention (forward-only: enable for
+    # inference paths; training uses the naive composable path for autodiff).
+    flash_encoder: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -310,17 +313,46 @@ def encode(
     h = params["shared_embedding"].astype(dtype)[input_ids]
 
     length = input_ids.shape[1]
-    positions = jnp.arange(length)
-    bias = compute_position_bias(enc["rel_bias"], positions, positions, True, cfg)
-    bias = bias + _mask_bias(attention_mask)  # [B, H, L, L]
+    use_flash = cfg.flash_encoder and length % 128 == 0
+    if use_flash:
+        from reprover_tpu.ops.flash_attention import encoder_flash_attention
 
-    def layer(h, lp):
-        n = rms_norm(h, lp["attn_norm"], cfg.layer_norm_epsilon)
-        h = h + _attn_block(n, n, lp["attn"], bias, cfg)
-        h = h + _mlp_block(
-            rms_norm(h, lp["mlp_norm"], cfg.layer_norm_epsilon), lp["mlp"], cfg
+        interpret = jax.default_backend() != "tpu"
+
+        def layer(h, lp):
+            eps = cfg.layer_norm_epsilon
+            n = rms_norm(h, lp["attn_norm"], eps)
+            p = lp["attn"]
+            # Raw [B, L, H*d] projection layout straight into the kernel —
+            # no head split/merge relayouts on the flash path.
+            attn = encoder_flash_attention(
+                _dense(n, p["q"], dtype),
+                _dense(n, p["k"], dtype),
+                _dense(n, p["v"], dtype),
+                attention_mask,
+                enc["rel_bias"],
+                num_heads=cfg.num_heads,
+                num_buckets=cfg.relative_attention_num_buckets,
+                max_distance=cfg.relative_attention_max_distance,
+                interpret=interpret,
+            )
+            h = h + _dense(attn, p["o"], dtype)
+            h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
+            return h, None
+
+    else:
+        bias = compute_position_bias(
+            enc["rel_bias"], jnp.arange(length), jnp.arange(length), True, cfg
         )
-        return h, None
+        bias = bias + _mask_bias(attention_mask)  # [B, H, L, L]
+
+        def layer(h, lp):
+            n = rms_norm(h, lp["attn_norm"], cfg.layer_norm_epsilon)
+            h = h + _attn_block(n, n, lp["attn"], bias, cfg)
+            h = h + _mlp_block(
+                rms_norm(h, lp["mlp_norm"], cfg.layer_norm_epsilon), lp["mlp"], cfg
+            )
+            return h, None
 
     if cfg.remat:
         layer = jax.checkpoint(layer)
