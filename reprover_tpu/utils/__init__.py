@@ -9,6 +9,7 @@ from reprover_tpu.utils.metrics import (
 )
 from reprover_tpu.utils.checkpoint import CheckpointManager
 from reprover_tpu.utils.misc import set_logger, zip_strict
+from reprover_tpu.utils.profiling import SectionTimer, device_trace
 
 __all__ = [
     "JsonlWriter",
@@ -19,4 +20,6 @@ __all__ = [
     "CheckpointManager",
     "set_logger",
     "zip_strict",
+    "SectionTimer",
+    "device_trace",
 ]
