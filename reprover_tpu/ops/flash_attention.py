@@ -68,21 +68,23 @@ def _bucket_map(
 
 
 def _encoder_attn_kernel(
-    q_ref,  # [1, L, H*d]
+    q_ref,  # [1, BQ, H*d]
     k_ref,  # [1, L, H*d]
     v_ref,  # [1, L, H*d]
     mask_ref,  # [1, 1, L] int32
     rel_ref,  # [H, 1, num_buckets] fp32
-    out_ref,  # [1, L, H*d]
+    out_ref,  # [1, BQ, H*d]
     *,
     num_heads: int,
     num_buckets: int,
     max_distance: int,
 ):
+    block_q = q_ref.shape[1]
     kv_len = k_ref.shape[1]
     d = k_ref.shape[2] // num_heads
 
-    bucket = _bucket_map(0, kv_len, kv_len, num_buckets, max_distance)
+    q_start = pl.program_id(1) * block_q
+    bucket = _bucket_map(q_start, block_q, kv_len, num_buckets, max_distance)
     mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
 
     for h in range(num_heads):
@@ -96,7 +98,7 @@ def _encoder_attn_kernel(
             kh,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [L, L] fp32
+        )  # [BQ, L] fp32
 
         rel_vec = rel_ref[h, 0]  # [num_buckets]
         bias = jnp.zeros_like(scores)
@@ -117,7 +119,13 @@ def _encoder_attn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "num_buckets", "max_distance", "interpret"),
+    static_argnames=(
+        "num_heads",
+        "num_buckets",
+        "max_distance",
+        "block_q",
+        "interpret",
+    ),
 )
 def encoder_flash_attention(
     q: jnp.ndarray,  # [B, L, H*d] — raw projection layout
@@ -128,10 +136,22 @@ def encoder_flash_attention(
     num_heads: int,
     num_buckets: int = 32,
     max_distance: int = 128,
+    block_q: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused bidirectional T5 self-attention -> [B, L, H*d]."""
     b, l, inner = q.shape
+    # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
+    # live (scores, bucket map, bias, exp); budget them to ~8 MB so the
+    # whole cell (plus K/V and double-buffered blocks) stays under the
+    # 16 MB VMEM limit.
+    budget_rows = max(128, (8 * 1024 * 1024) // (16 * l))
+    for cand in (block_q, 512, 256, 128):
+        if cand <= budget_rows and l % cand == 0 and cand <= l:
+            block_q = cand
+            break
+    else:
+        block_q = l
     # Singleton middle dims keep the trailing block dims equal to the full
     # array dims (Mosaic's (8, 128)-or-full tiling rule).
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
@@ -148,28 +168,32 @@ def encoder_flash_attention(
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, l, inner), q.dtype),
-        grid=(b,),
+        grid=(b, l // block_q),
         in_specs=[
             pl.BlockSpec(
-                (1, l, inner), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, block_q, inner),
+                lambda bi, qi: (bi, qi, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, l, inner), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, l, inner), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, l, inner), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, l, inner), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, l), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, l), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (num_heads, 1, rel_hb.shape[2]),
-                lambda bi: (0, 0, 0),
+                lambda bi, qi: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, l, inner), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM
+            (1, block_q, inner),
+            lambda bi, qi: (bi, qi, 0),
+            memory_space=pltpu.VMEM,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

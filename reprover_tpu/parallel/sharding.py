@@ -93,29 +93,83 @@ def param_partition_specs(
     return out
 
 
-def zero_partition_specs(params: Params, mesh: Mesh) -> Params:
+def zero_partition_specs(
+    params: Params, mesh: Mesh, param_specs: Any = None
+) -> Params:
     """ZeRO-style optimizer-state sharding specs over the ``data`` axis.
 
-    For each leaf, shard the largest axis divisible by the ``data`` axis size
-    (moments of a replicated param can be sharded freely — optax updates are
-    elementwise, so XLA inserts the reduce-scatter/all-gather pair, which is
-    exactly ZeRO-2's communication pattern). Leaves with no divisible axis
-    stay replicated.
+    For each leaf, shard the largest *free* axis divisible by the ``data``
+    axis size (moments of a replicated param can be sharded freely — optax
+    updates are elementwise, so XLA inserts the reduce-scatter/all-gather
+    pair, which is exactly ZeRO-2's communication pattern). Leaves with no
+    divisible axis stay replicated.
+
+    When ``param_specs`` is given (tensor parallelism on), moment specs
+    **keep the param's `model` sharding** and add ``data`` only on an axis
+    the param leaves unsharded — a moment sharded against its param's layout
+    forces XLA into full rematerialization at every update.
     """
     n = mesh.shape["data"]
+    flat_specs = (
+        jax.tree.leaves(param_specs, is_leaf=lambda x: isinstance(x, P))
+        if param_specs is not None
+        else None
+    )
+    pstruct = (
+        jax.tree.structure(param_specs, is_leaf=lambda x: isinstance(x, P))
+        if param_specs is not None
+        else None
+    )
 
-    def spec(x) -> P:
+    def spec(x, base: P = P()) -> P:
+        parts: list = list(base) + [None] * (x.ndim - len(base))
+        parts = parts[: x.ndim]
         if n <= 1 or x.ndim == 0:
-            return P()
+            return P(*parts)
         order = sorted(range(x.ndim), key=lambda a: -x.shape[a])
         for axis in order:
-            if x.shape[axis] % n == 0 and x.shape[axis] >= n:
-                parts: list = [None] * x.ndim
+            if (
+                parts[axis] is None
+                and x.shape[axis] % n == 0
+                and x.shape[axis] >= n
+            ):
                 parts[axis] = "data"
-                return P(*parts)
-        return P()
+                break
+        return P(*parts)
 
-    return jax.tree.map(spec, params)
+    def rec(node: Any) -> Any:
+        # A subtree that mirrors the params structure (optax mu/nu) gets
+        # param-aware specs; anything else is handled per leaf.
+        if pstruct is not None:
+            try:
+                if (
+                    jax.tree.structure(node) == pstruct
+                    and len(jax.tree.leaves(node)) == len(flat_specs)
+                ):
+                    return jax.tree.unflatten(
+                        jax.tree.structure(node),
+                        [
+                            spec(leaf, base)
+                            for leaf, base in zip(
+                                jax.tree.leaves(node), flat_specs
+                            )
+                        ],
+                    )
+            except Exception:
+                pass
+        if hasattr(node, "_fields"):  # NamedTuple (optax states)
+            return type(node)(*(rec(child) for child in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(child) for child in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        if hasattr(node, "ndim"):
+            return spec(node)
+        return node
+
+    if pstruct is None:
+        return jax.tree.map(spec, params)
+    return rec(params)
 
 
 def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:

@@ -150,7 +150,9 @@ def make_train_step(
     # Shardings: params per spec, opt state ZeRO-sharded, batch DP-sharded.
     def state_shardings(state: TrainState) -> TrainState:
         pspecs = param_partition_specs(state.params, cfg, model_parallel)
-        ospecs = zero_partition_specs(state.opt_state, mesh)
+        ospecs = zero_partition_specs(
+            state.opt_state, mesh, param_specs=pspecs if model_parallel else None
+        )
         to_sh = lambda tree: jax.tree.map(
             lambda s: NamedSharding(mesh, s), tree
         )
