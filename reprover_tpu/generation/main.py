@@ -35,6 +35,7 @@ class ModelConfig:
     ret_ckpt_path: Optional[str] = None  # frozen retriever (HF dir)
     random_init: bool = False
     tiny: bool = False  # tiny geometry smoke model
+    remat: bool = False  # activation checkpointing (layer-level)
 
 
 @dataclasses.dataclass
@@ -112,6 +113,8 @@ def _build(cfg: GenerationConfig):
         params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
     else:
         params, model_cfg = load_hf_t5(cfg.model.model_name, compute_dtype=dtype)
+    if cfg.model.remat:
+        model_cfg = dataclasses.replace(model_cfg, remat=True)
     model = TacticGeneratorModel(
         params,
         model_cfg,

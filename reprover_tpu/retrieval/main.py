@@ -38,6 +38,9 @@ class ModelConfig:
     num_retrieved: int = 100
     random_init: bool = False  # skip HF weights (tests/smoke)
     tiny: bool = False  # tiny geometry smoke model (cli_dummy.yaml analog)
+    # Activation checkpointing (the reference's cpu_checkpointing role,
+    # `retrieval/model.py:96-99`): rematerialize each layer in backward.
+    remat: bool = False
 
 
 @dataclasses.dataclass
@@ -107,6 +110,8 @@ def _build(cfg: RetrievalConfig):
         params, model_cfg = load_hf_t5(
             cfg.model.model_name, encoder_only=True, compute_dtype=dtype
         )
+    if cfg.model.remat:
+        model_cfg = dataclasses.replace(model_cfg, remat=True)
     mesh = None
     if cfg.data_parallel and len(jax.devices()) > 1:
         # The data axis must divide the train batch size.
