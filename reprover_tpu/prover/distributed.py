@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 import multiprocessing as mp
 import queue as _q
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 from reprover_tpu.data import Pos
@@ -151,8 +152,20 @@ class DistributedProver:
         results: List[Optional[SearchResult]] = []
         finished: set = set()
         respawns = 0
+        # Watchdog: a task pulled by a worker that dies before sending its
+        # "claim" event is unrecoverable by claim-requeueing; bound the
+        # whole run instead of hanging.
+        watchdog_s = max(3 * self.timeout, 60.0)
+        last_progress = time.monotonic()
 
         while len(finished) < len(theorems):
+            if time.monotonic() - last_progress > watchdog_s:
+                logger.error(
+                    "no progress for %.0fs; aborting %d unfinished theorems",
+                    watchdog_s,
+                    len(theorems) - len(finished),
+                )
+                break
             try:
                 kind, idx, payload = result_q.get(timeout=1.0)
             except _q.Empty:
@@ -181,6 +194,7 @@ class DistributedProver:
                         break
                 continue
 
+            last_progress = time.monotonic()
             if kind == "claim":
                 claimed[idx] = True
             elif kind == "done":

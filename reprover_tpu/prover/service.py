@@ -201,10 +201,17 @@ class InferenceService:
 class ServiceClient:
     """Picklable handle a prover worker uses to reach the service."""
 
-    def __init__(self, client_id: int, request_q: Any, response_q: Any) -> None:
+    def __init__(
+        self,
+        client_id: int,
+        request_q: Any,
+        response_q: Any,
+        timeout_s: float = 1800.0,
+    ) -> None:
         self.client_id = client_id
         self.request_q = request_q
         self.response_q = response_q
+        self.timeout_s = timeout_s
         self._next_req = 0
 
     async def agenerate(
@@ -229,11 +236,24 @@ class ServiceClient:
                 num_samples,
             )
         )
+        import functools
+        import queue as _q
+
         loop = asyncio.get_event_loop()
+        deadline = time.monotonic() + self.timeout_s
         while True:
-            resp: GenerateResponse = await loop.run_in_executor(
-                None, self.response_q.get
-            )
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"inference service did not answer within {self.timeout_s}s"
+                )
+            try:
+                resp: GenerateResponse = await loop.run_in_executor(
+                    None,
+                    functools.partial(self.response_q.get, timeout=remaining),
+                )
+            except _q.Empty:
+                continue
             if resp.req_id != req_id:
                 continue  # stale reply from a cancelled request
             if resp.error is not None:
