@@ -103,11 +103,15 @@ class TacticGeneratorModel:
         length_penalty: float = 0.0,
         compute_dtype=None,
     ) -> "TacticGeneratorModel":
+        on_tpu = jax.devices()[0].platform == "tpu"
         if compute_dtype is None:
-            compute_dtype = (
-                jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
-            )
-        params, cfg = load_hf_t5(ckpt_dir, compute_dtype=compute_dtype)
+            compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        params, cfg = load_hf_t5(
+            ckpt_dir,
+            compute_dtype=compute_dtype,
+            # Serving entry point — fused Pallas encoder attention on TPU.
+            flash_encoder=on_tpu,
+        )
         return cls(params, cfg, max_inp_seq_len, max_oup_seq_len, length_penalty)
 
     # -------------------------------------------------------------- #

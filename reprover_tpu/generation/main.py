@@ -131,11 +131,22 @@ def _build(cfg: GenerationConfig):
     return dm, model, model_cfg, mesh
 
 
-def _end_to_end_pass1(cfg: GenerationConfig, model, environment=None) -> float:
+def _end_to_end_pass1(
+    cfg: GenerationConfig, model, environment=None, retriever=None
+) -> float:
     """Run the prover on ``eval.num_theorems`` theorems with the current
-    weights; returns Pass@1 (`generation/model.py:227-254`)."""
+    weights; returns Pass@1 (`generation/model.py:227-254`).
+
+    With ``eval.num_workers > 1``, Lean interaction runs in worker processes
+    while this process keeps the device and serves all searches through one
+    continuous-batching :class:`InferenceService` (retrieval-augmented when a
+    frozen retriever is configured)."""
     from reprover_tpu.prover import evaluate
-    from reprover_tpu.prover.tactic_generator import LocalTacticGenerator
+    from reprover_tpu.prover.tactic_generator import (
+        FixedTacticGenerator,
+        LocalTacticGenerator,
+        RetrievalAugmentedTacticGenerator,
+    )
 
     if environment is None:
         from reprover_tpu.prover.environment import (
@@ -148,16 +159,34 @@ def _end_to_end_pass1(cfg: GenerationConfig, model, environment=None) -> float:
             return float("nan")
         environment = LeanDojoEnvironment(cfg.eval.timeout)
 
-    tac_gen = LocalTacticGenerator(model)
-    return evaluate(
-        cfg.data.data_path,
-        environment,
-        tac_gen,
+    common = dict(
         split="val",
         num_theorems=cfg.eval.num_theorems,
         num_sampled_tactics=cfg.eval.num_sampled_tactics,
         timeout=cfg.eval.timeout,
-        num_workers=1,  # in-process: the model lives on this host's device
+    )
+    if cfg.eval.num_workers > 1:
+        from reprover_tpu.prover import InferenceService
+
+        service = InferenceService(model, retriever=retriever)
+        service.start()
+        try:
+            return evaluate(
+                cfg.data.data_path,
+                environment,
+                FixedTacticGenerator("unused"),  # replaced per worker
+                num_workers=cfg.eval.num_workers,
+                make_client=service.client,
+                **common,
+            )
+        finally:
+            service.stop()
+
+    tac_gen = LocalTacticGenerator(model)
+    if retriever is not None:
+        tac_gen = RetrievalAugmentedTacticGenerator(tac_gen, retriever)
+    return evaluate(
+        cfg.data.data_path, environment, tac_gen, num_workers=1, **common
     )
 
 
@@ -179,6 +208,17 @@ def run_fit(cfg: GenerationConfig, environment=None) -> None:
     writer = make_writer(cfg.log_dir, stdout_every=cfg.trainer.log_interval)
     writer.write_hparams(config_to_dict(cfg))
 
+    # Frozen retriever for retrieval-augmented end-to-end eval
+    # (`generation/model.py:78-84`).
+    retriever = None
+    if cfg.model.ret_ckpt_path and cfg.data.corpus_path:
+        from reprover_tpu.retrieval import PremiseRetriever
+
+        retriever = PremiseRetriever.load_hf(
+            cfg.model.ret_ckpt_path, cfg.data.max_inp_seq_len
+        )
+        retriever.load_corpus(cfg.data.corpus_path)
+
     def validate(train_state, step):
         model.params = train_state.params
         metrics = validation_metrics(
@@ -188,7 +228,9 @@ def run_fit(cfg: GenerationConfig, environment=None) -> None:
             limit_batches=cfg.limit_val_batches,
         )
         if cfg.eval.num_theorems > 0:
-            metrics["Pass@1_val"] = _end_to_end_pass1(cfg, model, environment)
+            metrics["Pass@1_val"] = _end_to_end_pass1(
+                cfg, model, environment, retriever
+            )
         return metrics
 
     trainer = Trainer(cfg.trainer, step_fn, writer, validate_fn=validate)

@@ -82,14 +82,16 @@ class PremiseRetriever:
         Mirrors `retrieval/model.py:52-66`; ``compute_dtype`` defaults to
         bfloat16 on TPU, float32 elsewhere.
         """
+        on_tpu = jax.devices()[0].platform == "tpu"
         if compute_dtype is None:
-            compute_dtype = (
-                jnp.bfloat16
-                if jax.devices()[0].platform == "tpu"
-                else jnp.float32
-            )
+            compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
         params, cfg = load_hf_t5(
-            ckpt_dir, encoder_only=True, compute_dtype=compute_dtype
+            ckpt_dir,
+            encoder_only=True,
+            compute_dtype=compute_dtype,
+            # Inference-only entry point: the fused Pallas encoder attention
+            # is strictly faster at the bucketed lengths used here.
+            flash_encoder=on_tpu,
         )
         return cls(params, cfg, max_seq_len, num_retrieved, mesh)
 

@@ -371,6 +371,34 @@ class TestServiceAndDistributed:
             service.stop()
 
     @pytest.mark.slow
+    def test_multiworker_pass1_through_service(self, tmp_path):
+        """2 worker processes prove theorems via the parent's shared
+        InferenceService (the reference's shared-vLLM topology,
+        `proof_search.py:332-366`)."""
+        from reprover_tpu.prover import evaluate
+
+        _write_dataset(tmp_path, ["provable", "unprovable"])
+        env = FakeEnvironment(
+            init_states={"provable": "⊢ G", "unprovable": "⊢ Q"},
+            transitions={("⊢ G", "t1"): "⊢ A", ("⊢ A", "t2"): "QED"},
+        )
+        service = InferenceService(_StubGeneratorModel())
+        service.start()
+        try:
+            pass_1 = evaluate(
+                str(tmp_path),
+                env,
+                FixedTacticGenerator("unused"),
+                timeout=60,
+                num_workers=2,
+                make_client=service.client,
+            )
+        finally:
+            service.stop()
+        assert pass_1 == pytest.approx(0.5)
+        assert service.stats["requests"] >= 2  # workers reached the service
+
+    @pytest.mark.slow
     def test_multiprocess_pool(self, tmp_path):
         _write_dataset(tmp_path, ["provable", "unprovable", "broken", "p2"])
         env = FakeEnvironment(
