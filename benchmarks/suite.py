@@ -12,7 +12,11 @@ Results are printed as JSON lines and recorded in BASELINE.md.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -123,10 +123,14 @@ class GeneratorDataset:
 
 def load_preds(preds_path: str) -> Dict:
     """Load a retriever ``predictions.pickle`` into the lookup dict keyed by
-    (path, full_name, state) (`generation/datamodule.py:150-154`)."""
+    (path, full_name, state) (`generation/datamodule.py:150-154`).
+
+    Accepts both this framework's artifacts and reference-produced ones
+    (class paths remapped at unpickle time)."""
+    from reprover_tpu.data.interop import load_reference_pickle
+
     preds = {}
-    with open(preds_path, "rb") as f:
-        records = pickle.load(f)
+    records = load_reference_pickle(preds_path)
     for pred in records:
         ctx = pred["context"]
         preds[ctx.path, ctx.theorem_full_name, ctx.state] = pred

@@ -12,7 +12,6 @@ import argparse
 import json
 import logging
 import os
-import pickle
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
@@ -67,8 +66,9 @@ def main() -> None:
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
-    with open(args.preds_file, "rb") as f:
-        preds = pickle.load(f)
+    from reprover_tpu.data.interop import load_reference_pickle
+
+    preds = load_reference_pickle(args.preds_file)
     preds_map = build_preds_map(preds)
 
     for split in ("train", "val", "test"):
