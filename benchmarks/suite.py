@@ -78,6 +78,11 @@ def bench_query():
 
 
 def bench_train(params, cfg):
+    import dataclasses
+
+    # Activation checkpointing is mandatory at this batch size on a 16GB
+    # v5e (without it the step needs ~60GB of saved activations).
+    cfg = dataclasses.replace(cfg, remat=True)
     from reprover_tpu.training import (
         generation_loss,
         init_train_state,
@@ -100,7 +105,8 @@ def bench_train(params, cfg):
         "premise_mask": jnp.ones((B * (1 + n), L), jnp.int32),
         "label": jnp.zeros((B, B * (1 + n)), jnp.float32),
     }
-    state = init_train_state(params, tx)
+    # The train step donates its state; keep a fresh copy per task.
+    state = init_train_state(jax.tree.map(jnp.copy, params), tx)
     step = make_train_step(retrieval_loss, cfg, tx)
     state, loss = step(state, batch)
     sync(loss)
@@ -120,7 +126,7 @@ def bench_train(params, cfg):
         "state_mask": jnp.ones((B, LI), jnp.int32),
         "tactic_ids": jnp.asarray(rng.integers(3, cfg.vocab_size, (B, LO)), jnp.int32),
     }
-    state = init_train_state(params, tx)
+    state = init_train_state(jax.tree.map(jnp.copy, params), tx)
     step = make_train_step(generation_loss, cfg, tx)
     state, loss = step(state, gbatch)
     sync(loss)

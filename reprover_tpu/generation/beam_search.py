@@ -64,7 +64,7 @@ def beam_search(
     max_length: int,
     eos_id: int,
     pad_id: int,
-    start_id: int,
+    start_id: Any,  # int scalar or [batch] int array
     length_penalty: float = 0.0,
 ) -> BeamSearchResult:
     """Run beam search.
@@ -72,10 +72,13 @@ def beam_search(
     ``step_fn(cache, tokens[B*K]) -> (logits[B*K, V] fp32, cache)`` feeds the
     token at the current position; ``reorder_fn(cache, flat_parent[B*K])``
     gathers per-beam incremental state after selection. ``max_length`` counts
-    the decoder start token (HF convention).
+    the decoder start token (HF convention). ``start_id`` may be a scalar
+    (encoder-decoder: the decoder start token) or an ``[batch]`` array
+    (decoder-only: each prompt's last real token).
     """
     B, K = batch_size, num_beams
     T = max_length
+    start_id = jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (B,))
 
     def norm(sum_logprobs: jnp.ndarray, gen_len: jnp.ndarray) -> jnp.ndarray:
         if length_penalty == 0.0:
@@ -84,11 +87,15 @@ def beam_search(
             jnp.maximum(gen_len.astype(jnp.float32), 1.0), length_penalty
         )
 
-    tokens0 = jnp.full((B, K, T), pad_id, jnp.int32).at[:, :, 0].set(start_id)
+    tokens0 = (
+        jnp.full((B, K, T), pad_id, jnp.int32)
+        .at[:, :, 0]
+        .set(start_id[:, None])
+    )
     state0 = dict(
         n=jnp.asarray(1, jnp.int32),  # current sequence length (incl. start)
         tokens=tokens0,
-        last_token=jnp.full((B, K), start_id, jnp.int32),
+        last_token=jnp.tile(start_id[:, None], (1, K)),
         # Only beam 0 live initially so the first expansion is unique (HF
         # initializes beam scores to [0, -1e9, ...]).
         beam_scores=jnp.tile(

@@ -35,7 +35,10 @@ class ModelConfig:
     ret_ckpt_path: Optional[str] = None  # frozen retriever (HF dir)
     random_init: bool = False
     tiny: bool = False  # tiny geometry smoke model
-    remat: bool = False  # activation checkpointing (layer-level)
+    # Activation checkpointing, default ON: byt5-small at the reference
+    # batch size needs ~60GB of activations without it — fine on an 80GB
+    # A100, fatal on a 16GB v5e.
+    remat: bool = True
 
 
 @dataclasses.dataclass

@@ -78,7 +78,12 @@ def postprocess_candidates(
 
 
 class LocalTacticGenerator(TacticGenerator):
-    """In-process beam-search generation on this host's device."""
+    """In-process beam-search generation on this host's device.
+
+    Accepts both encoder-decoder (ByT5) and decoder-only (LLaMA-family)
+    checkpoints — the reference's seq2seq-with-causal-fallback behavior
+    (`tactic_generator.py:187-192`), decided from config.json instead of a
+    failed load."""
 
     def __init__(self, model_or_path, max_inp_seq_len: int = 2048,
                  max_oup_seq_len: int = 512, length_penalty: float = 0.0) -> None:
@@ -94,14 +99,28 @@ class LocalTacticGenerator(TacticGenerator):
 
     def initialize(self) -> None:
         if self.model is None:
-            from reprover_tpu.generation import TacticGeneratorModel
+            from reprover_tpu.models.hf_import_causal import is_causal_lm_checkpoint
 
-            self.model = TacticGeneratorModel.load_hf(
-                self._path,
-                self.max_inp_seq_len,
-                self.max_oup_seq_len,
-                self.length_penalty,
-            )
+            if is_causal_lm_checkpoint(self._path):
+                from reprover_tpu.generation.causal_generator import (
+                    CausalTacticGeneratorModel,
+                )
+
+                self.model = CausalTacticGeneratorModel.load_hf(
+                    self._path,
+                    self.max_inp_seq_len,
+                    self.max_oup_seq_len,
+                    self.length_penalty,
+                )
+            else:
+                from reprover_tpu.generation import TacticGeneratorModel
+
+                self.model = TacticGeneratorModel.load_hf(
+                    self._path,
+                    self.max_inp_seq_len,
+                    self.max_oup_seq_len,
+                    self.length_penalty,
+                )
 
     async def generate(
         self,

@@ -38,9 +38,12 @@ class ModelConfig:
     num_retrieved: int = 100
     random_init: bool = False  # skip HF weights (tests/smoke)
     tiny: bool = False  # tiny geometry smoke model (cli_dummy.yaml analog)
-    # Activation checkpointing (the reference's cpu_checkpointing role,
+    # Activation checkpointing (the reference cpu_checkpointing role,
+    # default ON: byt5-small training at the reference batch size needs
+    # ~60GB of activations without it - fine on an 80GB A100, fatal on a
+    # 16GB v5e; remat trades ~30% recompute for 5x memory),
     # `retrieval/model.py:96-99`): rematerialize each layer in backward.
-    remat: bool = False
+    remat: bool = True
 
 
 @dataclasses.dataclass
