@@ -360,3 +360,25 @@ def decode_step(
         position=state.position + 1,
     )
     return logits, new_state
+
+
+def causal_lm_loss(
+    params: Params,
+    cfg: CausalLMConfig,
+    input_ids: jnp.ndarray,  # [B, T]
+    attention_mask: jnp.ndarray,  # [B, T]
+    labels: jnp.ndarray,  # [B, T] int, -100 = ignored (HF convention)
+) -> jnp.ndarray:
+    """Next-token CE with -100 masking — in-framework decoder-only
+    fine-tuning on the [GOAL]/[PROOFSTEP] pairs the reference exports to
+    LLaMA-Factory (`generation/preprocess.py:30-37`)."""
+    logits = forward_logits(params, cfg, input_ids, attention_mask)
+    # shift: logits at t predict labels at t+1
+    logits = logits[:, :-1, :]
+    targets = labels[:, 1:]
+    valid = targets != -100
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

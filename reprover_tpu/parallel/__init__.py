@@ -3,6 +3,7 @@
 from reprover_tpu.parallel.mesh import make_mesh, local_mesh
 from reprover_tpu.parallel.sharding import (
     batch_sharding,
+    causal_param_partition_specs,
     param_partition_specs,
     replicated,
     shard_pytree,
@@ -13,6 +14,7 @@ __all__ = [
     "make_mesh",
     "local_mesh",
     "batch_sharding",
+    "causal_param_partition_specs",
     "param_partition_specs",
     "replicated",
     "shard_pytree",

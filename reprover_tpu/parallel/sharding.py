@@ -93,6 +93,36 @@ def param_partition_specs(
     return out
 
 
+def causal_param_partition_specs(params: Params, model_parallel: bool = False):
+    """PartitionSpec pytree for :mod:`reprover_tpu.models.causal_lm` params.
+
+    Megatron split over ``model``: q/k/v/gate/up column-parallel, o/down
+    row-parallel — the reference's vLLM ``tensor_parallel_size`` role for
+    decoder-only serving (`prover/proof_search.py:345`).
+    """
+    if not model_parallel:
+        return jax.tree.map(lambda _: P(), params)
+    layered = {
+        "input_norm": P(None, None),
+        "q": P(None, None, "model"),
+        "k": P(None, None, "model"),
+        "v": P(None, None, "model"),
+        "o": P(None, "model", None),
+        "post_norm": P(None, None),
+        "gate": P(None, None, "model"),
+        "up": P(None, None, "model"),
+        "down": P(None, "model", None),
+    }
+    out: Params = {
+        "embedding": P(None, None),
+        "layers": layered,
+        "final_norm": P(None),
+    }
+    if "lm_head" in params:
+        out["lm_head"] = P(None, "model")
+    return out
+
+
 def zero_partition_specs(
     params: Params, mesh: Mesh, param_specs: Any = None
 ) -> Params:
