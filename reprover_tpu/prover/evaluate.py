@@ -184,10 +184,66 @@ def main() -> None:
     imports = [args.module] if args.module else []
     environment = LeanDojoEnvironment(args.timeout, additional_imports=imports)
 
+    common = dict(
+        exp_id=args.exp_id,
+        split=args.split,
+        file_path=args.file_path,
+        full_name=args.full_name,
+        name_filter=args.name_filter,
+        num_theorems=args.num_theorems,
+        num_sampled_tactics=args.num_sampled_tactics,
+        timeout=args.timeout,
+        max_expansions=args.max_expansions,
+        save_results=args.save_results,
+        debug=args.verbose,
+    )
+
     if args.gen_ckpt_path is None:
-        tac_gen: TacticGenerator = FixedTacticGenerator(args.tactic, args.module)
+        # Fixed tactic: no device work — workers run it directly.
+        pass_1 = evaluate(
+            args.data_path,
+            environment,
+            FixedTacticGenerator(args.tactic, args.module),
+            num_workers=args.num_workers,
+            **common,
+        )
+    elif args.num_workers > 1:
+        # One device owner in this process; Lean runs in worker processes.
+        # Loading the model per worker would make every process fight for
+        # the single TPU (the reference's fractional-GPU scheduling role,
+        # `proof_search.py:432-448`, is a shared service here).
+        from reprover_tpu.generation import TacticGeneratorModel
+        from reprover_tpu.prover.service import InferenceService
+
+        model = TacticGeneratorModel.load_hf(
+            args.gen_ckpt_path,
+            args.max_inp_seq_len,
+            args.max_oup_seq_len,
+            args.length_penalty,
+        )
+        retriever = None
+        if args.indexed_corpus_path is not None:
+            from reprover_tpu.retrieval import PremiseRetriever
+
+            retriever = PremiseRetriever.load_hf(
+                args.ret_ckpt_path, args.max_inp_seq_len
+            )
+            retriever.load_corpus(args.indexed_corpus_path)
+        service = InferenceService(model, retriever=retriever)
+        service.start()
+        try:
+            pass_1 = evaluate(
+                args.data_path,
+                environment,
+                FixedTacticGenerator("unused"),  # replaced per worker
+                num_workers=args.num_workers,
+                make_client=service.client,
+                **common,
+            )
+        finally:
+            service.stop()
     else:
-        tac_gen = LocalTacticGenerator(
+        tac_gen: TacticGenerator = LocalTacticGenerator(
             args.gen_ckpt_path,
             args.max_inp_seq_len,
             args.max_oup_seq_len,
@@ -200,24 +256,10 @@ def main() -> None:
                 args.indexed_corpus_path,
                 args.max_inp_seq_len,
             )
+        pass_1 = evaluate(
+            args.data_path, environment, tac_gen, num_workers=1, **common
+        )
 
-    pass_1 = evaluate(
-        args.data_path,
-        environment,
-        tac_gen,
-        exp_id=args.exp_id,
-        split=args.split,
-        file_path=args.file_path,
-        full_name=args.full_name,
-        name_filter=args.name_filter,
-        num_theorems=args.num_theorems,
-        num_sampled_tactics=args.num_sampled_tactics,
-        timeout=args.timeout,
-        max_expansions=args.max_expansions,
-        num_workers=args.num_workers,
-        save_results=args.save_results,
-        debug=args.verbose,
-    )
     logger.info("Pass@1: %s", pass_1)
     print(f"Pass@1: {pass_1}")
 
