@@ -12,15 +12,17 @@ A ground-up JAX/XLA/Pallas re-design of the capabilities of lean-dojo/ReProver:
 
 Package layout:
 
-- ``data``       corpus DAG / accessibility bitmasks / datasets (host, NumPy)
-- ``models``     functional T5 (ByT5) in JAX + HF weight import
+- ``data``       corpus DAG / accessibility bitmasks / pickle interop (host)
+- ``models``     functional T5 (ByT5) + LLaMA-family causal LM + HF import
 - ``ops``        Pallas kernels and fused device ops (attention, top-k, pooling)
 - ``parallel``   mesh + sharding specs (DP / TP / ZeRO-style optimizer sharding)
-- ``retrieval``  premise retriever, indexer, R@k/MRR evaluation, BM25 baseline
-- ``generation`` tactic generator, beam search, preprocessing
-- ``prover``     search tree, best-first search, Pass@1 harness
-- ``serving``    batched TPU inference engine (continuous batching)
-- ``training``   optax/orbax training loops for retriever + generator
+- ``retrieval``  premise retriever, indexer, prediction, R@k/MRR eval, BM25
+- ``generation`` tactic generators (seq2seq + causal), beam search, preprocess
+- ``prover``     environment protocol, search tree, best-first search, shared
+                 TPU inference service (continuous batching), Pass@1 harness
+- ``training``   optax train steps, trainer loop, Orbax checkpoints
+- ``native``     C++ components (BPE tokenizer) via ctypes
+- ``utils``      config system, metric writers, checkpoint manager, profiling
 """
 
 __version__ = "0.1.0"
