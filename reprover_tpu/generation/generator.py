@@ -102,6 +102,7 @@ class TacticGeneratorModel:
         max_oup_seq_len: int,
         length_penalty: float = 0.0,
         compute_dtype=None,
+        quantize: bool = False,
     ) -> "TacticGeneratorModel":
         on_tpu = jax.devices()[0].platform == "tpu"
         if compute_dtype is None:
@@ -112,6 +113,12 @@ class TacticGeneratorModel:
             # Serving entry point — fused Pallas encoder attention on TPU.
             flash_encoder=on_tpu,
         )
+        if quantize:
+            # Weight-only int8: halves the HBM weight traffic that bounds
+            # per-token decode (near-lossless per-channel quantization).
+            from reprover_tpu.models.quantize import quantize_t5_params
+
+            params = quantize_t5_params(params)
         return cls(params, cfg, max_inp_seq_len, max_oup_seq_len, length_penalty)
 
     # -------------------------------------------------------------- #

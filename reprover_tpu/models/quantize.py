@@ -1,0 +1,88 @@
+"""Weight-only int8 quantization for serving.
+
+Beam-search decode is weight-read bound: every token step streams all
+decoder weights from HBM while the batch (beams) dimension is small. Storing
+matmul weights as int8 with per-output-channel scales halves that traffic;
+the dequant is a cheap post-matmul column scale —
+
+    y = (x @ q) * scale        ==       x @ (q * scale)
+
+so the int8 tensor feeds the MXU directly after an on-the-fly convert (XLA
+keeps the converted tile in VMEM; HBM sees only int8). Quality: per-channel
+weight-only int8 is near-lossless for T5-class models (tested: beam-search
+outputs match the bf16 model on the tiny config).
+
+Usage: ``params = quantize_t5_params(params)`` — matmul leaves become
+:class:`QuantWeight`; ``models.t5`` consumes either representation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class QuantWeight:
+    """int8 weight [..., I, O] + fp32 per-output-channel scale [..., 1, O]."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.q, self.scale), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def ndim(self) -> int:  # structural compat with array leaves
+        return self.q.ndim
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+def quantize_weight(w: jnp.ndarray) -> QuantWeight:
+    """Per-output-channel symmetric int8 (output = last axis; leading axes,
+    e.g. the stacked-layer axis, quantize independently)."""
+    w32 = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # [..., 1, O]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return QuantWeight(q=q, scale=scale)
+
+
+def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype) -> jnp.ndarray:
+    """y = (x @ int8) * scale, fp32 accumulation."""
+    y = jnp.dot(
+        x.astype(dtype),
+        w.q.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return (y * w.scale[..., 0, :].astype(jnp.float32)).astype(dtype)
+
+
+_T5_MATMUL_KEYS = frozenset(
+    {"q", "k", "v", "o", "wi_0", "wi_1", "wo", "lm_head"}
+)
+
+
+def quantize_t5_params(params: Any) -> Any:
+    """Quantize every T5 matmul weight (attention/MLP/lm_head); norms,
+    embeddings, and relative-position biases stay in full precision."""
+
+    def rec(node, key=None):
+        if isinstance(node, dict):
+            return {k: rec(v, k) for k, v in node.items()}
+        if key in _T5_MATMUL_KEYS and hasattr(node, "ndim") and node.ndim >= 2:
+            return quantize_weight(node)
+        return node
+
+    return rec(params)

@@ -185,7 +185,11 @@ def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _dense(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+def _dense(x: jnp.ndarray, w, dtype) -> jnp.ndarray:
+    from reprover_tpu.models.quantize import QuantWeight, quantized_dense
+
+    if isinstance(w, QuantWeight):  # weight-only int8 serving path
+        return quantized_dense(x, w, dtype)
     return jnp.dot(
         x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
@@ -419,11 +423,20 @@ def decode(
 
 
 def _lm_logits(params: Params, cfg: T5Config, h: jnp.ndarray) -> jnp.ndarray:
+    from reprover_tpu.models.quantize import QuantWeight
+
     if cfg.tie_word_embeddings:
         h = h * (cfg.d_model ** -0.5)
         w = params["shared_embedding"].T
     else:
         w = params["lm_head"]
+    if isinstance(w, QuantWeight):
+        logits = jnp.dot(
+            h.astype(cfg.compute_dtype),
+            w.q.astype(cfg.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * w.scale[..., 0, :].astype(jnp.float32)
     return jnp.dot(
         h.astype(cfg.compute_dtype),
         w.astype(cfg.compute_dtype),
