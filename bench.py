@@ -29,7 +29,9 @@ def main() -> None:
     from reprover_tpu.ops import masked_mean_normalize
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = byt5_small(compute_dtype=jnp.bfloat16, flash_encoder=on_tpu)
+    cfg = byt5_small(
+        compute_dtype=jnp.bfloat16, flash_encoder=on_tpu, unroll_encoder=on_tpu
+    )
     params = init_params(jax.random.PRNGKey(0), cfg)
     # Store weights in bf16 so HBM reads are not 2x inflated by fp32 casts.
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)

@@ -110,8 +110,10 @@ class TacticGeneratorModel:
         params, cfg = load_hf_t5(
             ckpt_dir,
             compute_dtype=compute_dtype,
-            # Serving entry point — fused Pallas encoder attention on TPU.
+            # Serving entry point — fused Pallas encoder attention + unrolled
+            # encoder stack on TPU.
             flash_encoder=on_tpu,
+            unroll_encoder=on_tpu,
         )
         if quantize:
             # Weight-only int8: halves the HBM weight traffic that bounds

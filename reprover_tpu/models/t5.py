@@ -57,6 +57,10 @@ class T5Config:
     # Fused Pallas encoder self-attention (forward-only: enable for
     # inference paths; training uses the naive composable path for autodiff).
     flash_encoder: bool = False
+    # Unroll the encoder layer stack instead of lax.scan (inference only:
+    # larger compile, measured ~6% faster steps — scan's per-layer slicing
+    # has real cost; training keeps scan for O(1) HLO and remat).
+    unroll_encoder: bool = False
 
     @property
     def inner_dim(self) -> int:
@@ -358,9 +362,13 @@ def encode(
             )
             return h, None
 
-    if cfg.remat:
-        layer = jax.checkpoint(layer)
-    h, _ = jax.lax.scan(layer, h, enc["layers"])
+    if cfg.unroll_encoder and not cfg.remat:
+        for i in range(cfg.num_encoder_layers):
+            h, _ = layer(h, jax.tree.map(lambda x: x[i], enc["layers"]))
+    else:
+        if cfg.remat:
+            layer = jax.checkpoint(layer)
+        h, _ = jax.lax.scan(layer, h, enc["layers"])
     return rms_norm(h, enc["final_norm"], cfg.layer_norm_epsilon)
 
 

@@ -90,8 +90,10 @@ class PremiseRetriever:
             encoder_only=True,
             compute_dtype=compute_dtype,
             # Inference-only entry point: the fused Pallas encoder attention
-            # is strictly faster at the bucketed lengths used here.
+            # is strictly faster at the bucketed lengths used here, and the
+            # unrolled layer stack beats scan by ~6% (larger one-time compile).
             flash_encoder=on_tpu,
+            unroll_encoder=on_tpu,
         )
         return cls(params, cfg, max_seq_len, num_retrieved, mesh)
 
