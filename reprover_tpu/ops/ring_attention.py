@@ -118,13 +118,18 @@ def ring_encoder_attention(
             mask_nxt = jax.lax.ppermute(mask_cur, axis, perm)
             return (k_nxt, v_nxt, mask_nxt, m_new, lsum, acc), None
 
+        # Freshly-created carries must be marked device-varying for the
+        # ppermute-carrying scan (shard_map's varying-manual-axes tracking).
+        def varying(x):
+            return jax.lax.pcast(x, (axis,), to="varying")
+
         init = (
             k_s,
             v_s,
             mask_s,
-            jnp.full((b, h, shard, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((b, h, shard, 1), jnp.float32),
-            jnp.zeros((b, h, shard, d), jnp.float32),
+            varying(jnp.full((b, h, shard, 1), -jnp.inf, jnp.float32)),
+            varying(jnp.zeros((b, h, shard, 1), jnp.float32)),
+            varying(jnp.zeros((b, h, shard, d), jnp.float32)),
         )
         (k_f, v_f, mask_f, m, lsum, acc), _ = jax.lax.scan(
             step, init, jnp.arange(n_dev)
@@ -137,5 +142,4 @@ def ring_encoder_attention(
         mesh=mesh,
         in_specs=(spec4, spec4, spec4, P(None, axis), P()),
         out_specs=spec4,
-        check_rep=False,
     )(q, k, v, mask, rel_bias)
