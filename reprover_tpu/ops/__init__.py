@@ -3,4 +3,23 @@
 from reprover_tpu.ops.pooling import masked_mean_normalize
 from reprover_tpu.ops.topk import masked_topk, cosine_topk
 
-__all__ = ["masked_mean_normalize", "masked_topk", "cosine_topk"]
+__all__ = [
+    "masked_mean_normalize",
+    "masked_topk",
+    "cosine_topk",
+    "encoder_flash_attention",
+    "ring_encoder_attention",
+]
+
+
+def __getattr__(name):
+    # Lazy: the attention kernels import pallas / shard_map machinery.
+    if name == "encoder_flash_attention":
+        from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+        return encoder_flash_attention
+    if name == "ring_encoder_attention":
+        from reprover_tpu.ops.ring_attention import ring_encoder_attention
+
+        return ring_encoder_attention
+    raise AttributeError(name)
