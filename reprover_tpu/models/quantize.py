@@ -60,7 +60,29 @@ def quantize_weight(w: jnp.ndarray) -> QuantWeight:
 
 
 def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype) -> jnp.ndarray:
-    """y = (x @ int8) * scale, fp32 accumulation."""
+    """y = (x @ int8) * scale, fp32 accumulation.
+
+    On TPU, 2-D weights route through the Pallas w8a16 kernel
+    (:mod:`reprover_tpu.ops.quant_matmul`) so HBM reads stay int8 — the
+    XLA fallback materializes a converted copy and loses the bandwidth win.
+    """
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    # Small-M only: that is where weight reads bound the step (incremental
+    # decode); large-M (encoder/prefill) is compute-bound and the extra
+    # VMEM reservations of per-matmul kernels can exceed the scoped budget.
+    if w.q.ndim == 2 and rows <= 256 and jax.default_backend() == "tpu":
+        from reprover_tpu.ops.quant_matmul import quant_matmul
+
+        lead = x.shape[:-1]
+        y = quant_matmul(
+            x.reshape(-1, x.shape[-1]).astype(dtype),
+            w.q,
+            w.scale.reshape(-1),
+            out_dtype=dtype,
+        )
+        return y.reshape(*lead, y.shape[-1])
     y = jnp.dot(
         x.astype(dtype),
         w.q.astype(dtype),

@@ -1,0 +1,68 @@
+"""Pallas TPU kernel: weight-only int8 matmul (w8a16).
+
+XLA lowers ``x @ wq.astype(bf16)`` by materializing the converted weight
+tensor, so the plain-XLA int8 path reads int8 AND writes+reads a bf16 copy —
+measured no faster than bf16 weights. This kernel keeps the promise of
+weight-only quantization: the int8 tile is DMA'd from HBM, converted in
+VMEM, fed to the MXU, and scaled per output channel — HBM sees half the
+weight bytes, which is the bound on small-batch incremental decode.
+
+    y[M, N] = (x[M, K] @ q[K, N]) * scale[N]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, scale_ref, out_ref, *, out_dtype):
+    x = x_ref[:]  # [M, K]
+    w = q_ref[:].astype(x.dtype)  # [K, BN] int8 -> compute dtype, in VMEM
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    out_ref[:] = (y * scale_ref[0].astype(jnp.float32)).astype(out_dtype)
+
+
+def _block_n(n: int) -> int:
+    for cand in (512, 384, 256, 128):
+        if n % cand == 0:
+            return cand
+    return n  # odd N (e.g. 1472): single full tile
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul(
+    x: jnp.ndarray,  # [M, K] bf16/fp32
+    q: jnp.ndarray,  # [K, N] int8
+    scale: jnp.ndarray,  # [N] fp32 (per output channel)
+    out_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, k = x.shape
+    k2, n = q.shape
+    assert k == k2, (x.shape, q.shape)
+    out_dtype = out_dtype or x.dtype
+    bn = _block_n(n)
+    scale2 = scale.reshape(1, n).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * 2 + k * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, q, scale2)

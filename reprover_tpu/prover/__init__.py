@@ -16,6 +16,7 @@ from reprover_tpu.prover.environment import (
     TacticState,
     TacticTimeout,
     Theorem,
+    environment_from_dataset,
     lean_dojo_available,
 )
 from reprover_tpu.prover.search_tree import (
@@ -52,6 +53,7 @@ __all__ = [
     "TacticState",
     "TacticTimeout",
     "Theorem",
+    "environment_from_dataset",
     "lean_dojo_available",
     "Edge",
     "ErrorNode",

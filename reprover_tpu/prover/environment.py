@@ -317,3 +317,28 @@ def lean_dojo_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def environment_from_dataset(theorems: List[Dict[str, Any]]) -> FakeEnvironment:
+    """Build a replay environment from LeanDojo-format theorem records.
+
+    Each theorem's ``traced_tactics`` become scripted transitions: applying
+    the recorded tactic at its ``state_before`` yields ``state_after``
+    (``"no goals"`` -> ProofFinished). This turns any dataset — real or
+    synthetic (``scripts/make_synthetic_benchmark.py``) — into a provable
+    offline environment for end-to-end training/search validation without
+    Lean.
+    """
+    init_states: Dict[str, str] = {}
+    transitions: Dict[Tuple[str, str], Any] = {}
+    for thm in theorems:
+        tactics = thm.get("traced_tactics") or []
+        if not tactics:
+            continue
+        init_states[thm["full_name"]] = tactics[0]["state_before"]
+        for tac in tactics:
+            after = tac["state_after"]
+            transitions[(tac["state_before"], tac["tactic"])] = (
+                "QED" if after == "no goals" else after
+            )
+    return FakeEnvironment(init_states=init_states, transitions=transitions)

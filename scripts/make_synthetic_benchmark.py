@@ -1,0 +1,219 @@
+"""Generate a synthetic LeanDojo-format benchmark at configurable scale.
+
+The real LeanDojo Benchmark 4 needs network access; this produces a
+structurally-identical offline stand-in — corpus.jsonl with an import DAG +
+random/novel_premises splits of theorems whose annotated tactics cite real
+corpus premises — so training dynamics, retrieval quality plumbing, and the
+full prover loop (via the replay environment,
+``reprover_tpu.prover.environment.environment_from_dataset``) can be
+validated end to end at reference scale without Lean or downloads.
+
+Learnability: each theorem's proof applies lemmas whose serialized text
+shares tokens with the goal state, so a retriever has signal; the splits
+follow the reference's scheme — ``random`` shuffles theorems, while
+``novel_premises`` puts theorems whose positive premises never appear in
+train into val/test (`LeanDojo paper` split semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import random
+
+logger = logging.getLogger(__name__)
+
+OPS = ["+", "*", "⊓", "⊔", "∘"]
+NOUNS = ["add", "mul", "inf", "sup", "comp"]
+
+
+def _premise(fi: int, k: int, rng: random.Random):
+    op = rng.choice(OPS)
+    noun = rng.choice(NOUNS)
+    name = f"Syn.f{fi}.{noun}_{k}"
+    code = (
+        f"theorem {name.split('.')[-1]} (a b : Nat) : "
+        f"a {op} b = b {op} a := by synth_tac_{fi}_{k}"
+    )
+    line = k * 4 + 1
+    return {
+        "full_name": name,
+        "start": [line, 1],
+        "end": [line + 2, 20],
+        "code": code,
+    }
+
+
+def make_corpus(path: str, n_files: int, per_file: int, seed: int) -> list:
+    rng = random.Random(seed)
+    files = []
+    with open(path, "w") as f:
+        for i in range(n_files):
+            imports = []
+            if i > 0:
+                imports = sorted(
+                    {f"Syn/F{j}.lean" for j in rng.sample(range(i), min(3, i))}
+                )
+            premises = [_premise(i, k, rng) for k in range(per_file)]
+            rec = {"path": f"Syn/F{i}.lean", "imports": imports, "premises": premises}
+            files.append(rec)
+            f.write(json.dumps(rec) + "\n")
+    return files
+
+
+def make_theorems(files: list, n_theorems: int, seed: int) -> list:
+    """Theorems proved by applying 1-3 premises from imported files."""
+    rng = random.Random(seed + 1)
+    # transitive imports per file (files are topologically ordered)
+    closure = {}
+    by_path = {f["path"]: f for f in files}
+    for f in files:
+        deps = set()
+        for imp in f["imports"]:
+            deps.add(imp)
+            deps |= closure[imp]
+        closure[f["path"]] = deps
+
+    theorems = []
+    for t in range(n_theorems):
+        fi = rng.randrange(1, len(files))
+        host = files[fi]
+        candidates = [p for d in closure[host["path"]] for p in by_path[d]["premises"]]
+        if not candidates:
+            continue
+        steps = rng.randint(1, 3)
+        used = rng.sample(candidates, min(steps, len(candidates)))
+        name = f"Syn.thm_{t}"
+        goal_terms = " ".join(p["full_name"].split(".")[-1] for p in used)
+        tactics = []
+        for s, prem in enumerate(used):
+            short = prem["full_name"].split(".")[-1]
+            before = (
+                f"a b : Nat\n⊢ goal_{t} step_{s} uses {goal_terms}"
+                if s == 0
+                else f"a b : Nat\n⊢ goal_{t} after_{s} uses {goal_terms}"
+            )
+            after = (
+                "no goals"
+                if s == len(used) - 1
+                else f"a b : Nat\n⊢ goal_{t} after_{s + 1} uses {goal_terms}"
+            )
+            tactics.append(
+                {
+                    "tactic": f"rw [{short}]",
+                    "annotated_tactic": [
+                        f"rw [<a>{short}</a>]",
+                        [
+                            {
+                                "full_name": prem["full_name"],
+                                "def_path": None,  # resolved by def_pos fallback
+                                "def_pos": prem["start"],
+                                "def_end_pos": prem["end"],
+                            }
+                        ],
+                    ],
+                    "state_before": before,
+                    "state_after": after,
+                }
+            )
+            # fill provenance path
+            for d in closure[host["path"]]:
+                if prem in by_path[d]["premises"]:
+                    tactics[-1]["annotated_tactic"][1][0]["def_path"] = d
+                    break
+        theorems.append(
+            {
+                "url": "https://example.com/synthetic",
+                "commit": "0" * 40,
+                "file_path": host["path"],
+                "full_name": name,
+                "start": [1, 1],
+                "end": [2, 1],
+                "traced_tactics": tactics,
+            }
+        )
+    return theorems
+
+
+def split_random(theorems: list, seed: int):
+    rng = random.Random(seed + 2)
+    order = theorems[:]
+    rng.shuffle(order)
+    n = len(order)
+    return order[: int(n * 0.8)], order[int(n * 0.8) : int(n * 0.9)], order[int(n * 0.9) :]
+
+
+def split_novel_premises(theorems: list, seed: int):
+    """val/test theorems use at least one premise unseen in train
+    (two passes: fix the train premise set first, then keep only genuinely
+    novel holdout theorems — anything else folds back into train)."""
+    rng = random.Random(seed + 3)
+    order = theorems[:]
+    rng.shuffle(order)
+
+    def prems(thm):
+        return {
+            prov["full_name"]
+            for tac in thm["traced_tactics"]
+            for prov in tac["annotated_tactic"][1]
+        }
+
+    cut = int(len(order) * 0.8)
+    train, holdout = order[:cut], order[cut:]
+    train_prems = set()
+    for thm in train:
+        train_prems |= prems(thm)
+    rest = [t for t in holdout if prems(t) - train_prems]
+    train += [t for t in holdout if not (prems(t) - train_prems)]
+    half = len(rest) // 2
+    return train, rest[:half], rest[half:]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", type=str, default="data/synthetic_benchmark")
+    parser.add_argument("--num-files", type=int, default=300)
+    parser.add_argument("--premises-per-file", type=int, default=43)
+    parser.add_argument("--num-theorems", type=int, default=2000)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    os.makedirs(args.out, exist_ok=True)
+    files = make_corpus(
+        os.path.join(args.out, "corpus.jsonl"),
+        args.num_files,
+        args.premises_per_file,
+        args.seed,
+    )
+    theorems = make_theorems(files, args.num_theorems, args.seed)
+    with open(os.path.join(args.out, "metadata.json"), "w") as f:
+        json.dump(
+            {"from_repo": {"url": "https://example.com/synthetic", "commit": "0" * 40}},
+            f,
+        )
+    for split_name, splitter in (
+        ("random", split_random),
+        ("novel_premises", split_novel_premises),
+    ):
+        d = os.path.join(args.out, split_name)
+        os.makedirs(d, exist_ok=True)
+        train, val, test = splitter(theorems, args.seed)
+        for name, data in (("train", train), ("val", val), ("test", test)):
+            with open(os.path.join(d, f"{name}.json"), "w") as f:
+                json.dump(data, f)
+        logger.info(
+            "%s: %d train / %d val / %d test", split_name, len(train), len(val), len(test)
+        )
+    logger.info(
+        "synthetic benchmark at %s: %d premises, %d theorems",
+        args.out,
+        args.num_files * args.premises_per_file,
+        len(theorems),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,21 @@ def test_quantized_forward_close_and_generation_runs():
     assert len(out) == 3
     scores = [s for _, s in out]
     assert all(np.isfinite(scores)) and scores == sorted(scores, reverse=True)
+
+
+def test_pallas_quant_matmul_interpret():
+    """w8a16 kernel == dequantized XLA reference (interpret mode)."""
+    from reprover_tpu.ops.quant_matmul import quant_matmul
+
+    rng = np.random.default_rng(2)
+    for m, k, n in ((64, 1472, 384), (8, 384, 1472), (5, 256, 128)):
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+        qw = quantize_weight(w)
+        ref = np.asarray(x) @ (
+            np.asarray(qw.q, np.float32) * np.asarray(qw.scale)
+        )
+        out = np.asarray(
+            quant_matmul(x, qw.q, qw.scale.reshape(-1), interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
