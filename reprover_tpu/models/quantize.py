@@ -66,23 +66,12 @@ def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype) -> jnp.ndarray:
     (:mod:`reprover_tpu.ops.quant_matmul`) so HBM reads stay int8 — the
     XLA fallback materializes a converted copy and loses the bandwidth win.
     """
-    rows = 1
-    for s in x.shape[:-1]:
-        rows *= s
-    # Small-M only: that is where weight reads bound the step (incremental
-    # decode); large-M (encoder/prefill) is compute-bound and the extra
-    # VMEM reservations of per-matmul kernels can exceed the scoped budget.
-    if w.q.ndim == 2 and rows <= 256 and jax.default_backend() == "tpu":
-        from reprover_tpu.ops.quant_matmul import quant_matmul
-
-        lead = x.shape[:-1]
-        y = quant_matmul(
-            x.reshape(-1, x.shape[-1]).astype(dtype),
-            w.q,
-            w.scale.reshape(-1),
-            out_dtype=dtype,
-        )
-        return y.reshape(*lead, y.shape[-1])
+    # Measured on v5e at byt5-small shapes: neither the XLA int8 path nor
+    # the Pallas w8a16 kernel (reprover_tpu.ops.quant_matmul) beats bf16
+    # decode latency — per-token matmuls are too small for the bandwidth
+    # saving to outweigh dispatch/fusion loss. int8 therefore serves as a
+    # 2x weight-memory option here; route through quant_matmul explicitly
+    # for models whose weight streams actually bound the step.
     y = jnp.dot(
         x.astype(dtype),
         w.q.astype(dtype),
