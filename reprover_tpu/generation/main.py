@@ -13,7 +13,6 @@ import dataclasses
 import logging
 import os
 import sys
-import tempfile
 from typing import Optional
 
 import jax

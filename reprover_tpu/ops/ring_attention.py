@@ -22,10 +22,7 @@ one chip:
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -17,10 +17,7 @@ structural protocol plus:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
-
-from reprover_tpu.data import Pos
-
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 # ------------------------------------------------------------------ #
 # Theorem identity

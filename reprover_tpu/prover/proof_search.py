@@ -48,7 +48,7 @@ from reprover_tpu.prover.search_tree import (
     Status,
     node_for_result,
 )
-from reprover_tpu.prover.tactic_generator import FixedTacticGenerator, TacticGenerator
+from reprover_tpu.prover.tactic_generator import TacticGenerator
 
 logger = logging.getLogger(__name__)
 

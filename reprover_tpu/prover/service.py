@@ -24,7 +24,7 @@ import dataclasses
 import multiprocessing as mp
 import threading
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from reprover_tpu.data import Pos
 

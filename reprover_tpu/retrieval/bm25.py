@@ -22,11 +22,10 @@ import argparse
 import itertools
 import json
 import logging
-import math
 import os
 import pickle
 from collections import Counter
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import numpy as np
 

@@ -19,7 +19,6 @@ corpus embeddings stale; queries lazily re-index.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -31,8 +30,8 @@ from reprover_tpu.models import encode as t5_encode
 from reprover_tpu.models import load_hf_t5
 from reprover_tpu.models.t5 import Params, T5Config
 from reprover_tpu.ops import cosine_topk, masked_mean_normalize
-from reprover_tpu.parallel import batch_sharding, make_mesh
-from reprover_tpu.tokenizer import ByT5Tokenizer, round_to_bucket
+from reprover_tpu.parallel import batch_sharding
+from reprover_tpu.tokenizer import ByT5Tokenizer
 
 
 class PremiseRetriever:
