@@ -137,16 +137,28 @@ class RetrievalDataset:
                 out_file.extend(self.corpus.get_premises(dep))
 
         k_in = min(len(in_file), self.num_in_file_negatives)
+        k_out = min(len(out_file), self.num_negatives - k_in)
+        # Scarce out-of-file pool: top back up from in-file (the reference's
+        # `random.sample` would raise here, `retrieval/datamodule.py:123-127`;
+        # real Mathlib corpora never hit it, small/synthetic ones do).
+        k_in = min(len(in_file), self.num_negatives - k_out)
         chosen_in = [
             in_file[i]
             for i in self.rng.choice(len(in_file), size=k_in, replace=False)
         ]
-        k_out = self.num_negatives - k_in
         chosen_out = [
             out_file[i]
             for i in self.rng.choice(len(out_file), size=k_out, replace=False)
         ]
-        return chosen_in + chosen_out
+        chosen = chosen_in + chosen_out
+        pool = in_file + out_file
+        if len(chosen) < self.num_negatives and pool:
+            # Last resort: fewer accessible premises than negatives — repeat.
+            extra = self.num_negatives - len(chosen)
+            chosen += [
+                pool[i] for i in self.rng.choice(len(pool), size=extra, replace=True)
+            ]
+        return chosen
 
     def collate(self, examples: List[Example]) -> Batch:
         batch: Batch = {}

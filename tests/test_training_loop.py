@@ -237,3 +237,69 @@ class TestCliSmoke:
             recs = [json.loads(l) for l in f]
         assert any("loss_val" in r for r in recs)
         assert any("top2_acc_val" in r for r in recs)
+
+
+class TestResumeAndBest:
+    def test_trainer_resume_continues_from_checkpoint(self, tmp_path):
+        import jax.numpy as jnp
+
+        from reprover_tpu.training.loop import Trainer, TrainerConfig
+        from reprover_tpu.training.tasks import TrainState
+        from reprover_tpu.utils.metrics import MetricWriter
+
+        class Null(MetricWriter):
+            def write(self, step, scalars):
+                pass
+
+        def step_fn(state, batch):
+            return (
+                TrainState(state.step + 1, state.params, state.opt_state),
+                jnp.asarray(0.5),
+            )
+
+        def validate(state, step):
+            return {"metric": float(step)}
+
+        def make_trainer(max_steps, resume):
+            return Trainer(
+                TrainerConfig(
+                    max_steps=max_steps,
+                    val_interval=5,
+                    monitor="metric",
+                    patience=99,
+                    ckpt_dir=str(tmp_path / "ck"),
+                    resume=resume,
+                ),
+                step_fn,
+                Null(),
+                validate_fn=validate,
+            )
+
+        def fresh_state():
+            return TrainState(
+                jnp.zeros((), jnp.int32), {"w": jnp.ones((4,))}, {"o": jnp.zeros(())}
+            )
+
+        loader = [{"x": np.zeros((1,), np.float32)}] * 100
+        final = make_trainer(10, resume=False).fit(fresh_state(), loader)
+        assert int(np.asarray(final.step)) == 10
+
+        # Second run resumes at step 10 and continues to 20 (not restarting).
+        final2 = make_trainer(20, resume=True).fit(fresh_state(), loader)
+        assert int(np.asarray(final2.step)) == 20
+
+    def test_checkpoint_manager_best_step(self, tmp_path):
+        import jax.numpy as jnp
+
+        from reprover_tpu.training.tasks import TrainState
+        from reprover_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "b"), monitor="m", mode="max")
+        s = TrainState(jnp.zeros((), jnp.int32), {"w": jnp.ones(2)}, {})
+        mgr.save(1, s, {"m": 0.1})
+        mgr.save(2, s, {"m": 0.9})
+        mgr.save(3, s, {"m": 0.4})
+        mgr.wait()
+        assert mgr.best_step() == 2
+        assert mgr.latest_step() == 3
+        mgr.close()
