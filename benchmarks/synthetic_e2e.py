@@ -1,0 +1,171 @@
+"""Full end-to-end on the real TPU with the synthetic benchmark.
+
+Generate data first:
+    python scripts/make_synthetic_benchmark.py --out /tmp/synth_e2e/data \
+        --num-files 100 --premises-per-file 20 --num-theorems 600
+
+Then: retriever fine-tune (R@k before/after), generator fine-tune, and
+best-first proof search with the trained generator on the replay
+environment. Measured 2026-08-16 on one v5e (BASELINE.md): retriever R@10
+14.6 -> 19.0 after 1200 steps; generator CE 6.80 -> 0.13 at ~98 steps/s;
+prover Pass@1 = 3.3% on unseen val theorems — actual proofs found by the
+trained model through the full search stack, no Lean required.
+
+Note on model size: training from random init (no pretrained byt5 weights
+available offline) needs this smaller geometry to latch cross-attention on
+1.1k pairs; the real pipeline fine-tunes pretrained google/byt5-small.
+"""
+
+import json
+import sys
+import time
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DATA = "/tmp/synth_e2e/data/random"
+CORPUS = "/tmp/synth_e2e/data/corpus.jsonl"
+SEQ = 256
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from reprover_tpu.models.t5 import byt5_small, init_params
+    from reprover_tpu.retrieval.datamodule import RetrievalDataModule
+    from reprover_tpu.retrieval.prediction import validation_metrics
+    from reprover_tpu.retrieval.retriever import PremiseRetriever
+    from reprover_tpu.training import (
+        generation_loss,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        numeric_batch,
+        retrieval_loss,
+    )
+
+    from reprover_tpu.models.t5 import T5Config
+
+    # Small-from-scratch geometry: the real pipeline starts from pretrained
+    # byt5-small; training 300M params from random init on 1.1k synthetic
+    # pairs plateaus before cross-attention latches. This size learns.
+    cfg = T5Config(
+        d_model=256, d_kv=32, d_ff=1024, num_heads=8,
+        num_encoder_layers=4, num_decoder_layers=4,
+        compute_dtype=jnp.bfloat16, remat=False,
+    )
+    icfg = dataclasses.replace(cfg, flash_encoder=True)
+
+    # ---------------- retriever ----------------
+    dm = RetrievalDataModule(
+        data_path=DATA, corpus_path=CORPUS,
+        num_negatives=3, num_in_file_negatives=1,
+        batch_size=8, eval_batch_size=32, max_seq_len=SEQ,
+    )
+    dm.setup("fit")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    retriever = PremiseRetriever(params, icfg, max_seq_len=SEQ, num_retrieved=16)
+    retriever.load_corpus(dm.corpus)
+
+    def eval_retr(tag):
+        retriever.mark_stale()
+        m = validation_metrics(retriever, dm.val_dataloader(), num_retrieved=16)
+        log(stage=f"retrieval_{tag}", R1=round(m["Recall@1_val"], 2),
+            R10=round(m["Recall@10_val"], 2), MRR=round(m["MRR"], 4))
+
+    t0 = time.time()
+    eval_retr("before")
+    log(stage="retrieval_eval_time", s=round(time.time() - t0, 1))
+
+    tx = make_optimizer(3e-4, 100)
+    state = init_train_state(params, tx)
+    step = make_train_step(retrieval_loss, cfg, tx)
+    n_steps = 0
+    t0 = time.time()
+    for epoch in range(50):
+        for batch in dm.train_dataloader():
+            state, loss = step(state, numeric_batch(batch))
+            n_steps += 1
+            if n_steps % 100 == 0:
+                log(stage="retrieval_train", step=n_steps, loss=float(loss),
+                    sps=round(n_steps / (time.time() - t0), 2))
+            if n_steps >= 1200:
+                break
+        if n_steps >= 1200:
+            break
+    retriever.params = state.params
+    eval_retr("after1200")
+
+    # ---------------- generator ----------------
+    from reprover_tpu.generation.datamodule import GeneratorDataModule
+    from reprover_tpu.generation.generator import TacticGeneratorModel
+
+    gdm = GeneratorDataModule(
+        data_path=DATA, batch_size=8, eval_batch_size=8,
+        max_inp_seq_len=SEQ, max_oup_seq_len=32, p_drop=0.0,
+    )
+    gdm.setup("fit")
+    gparams = init_params(jax.random.PRNGKey(1), cfg)
+    gstate = init_train_state(gparams, make_optimizer(3e-4, 100))
+    gstep = make_train_step(generation_loss, cfg, make_optimizer(3e-4, 100))
+    n = 0
+    t0 = time.time()
+    first = last = None
+    for epoch in range(80):
+        for batch in gdm.train_dataloader():
+            gstate, gloss = gstep(gstate, numeric_batch(batch))
+            n += 1
+            if first is None:
+                first = float(gloss)
+            if n % 100 == 0:
+                last = float(gloss)
+                log(stage="generation_train", step=n, loss=last,
+                    sps=round(n / (time.time() - t0), 2))
+            if n >= 4000:
+                break
+        if n >= 4000:
+            break
+    log(stage="generation_done", first_loss=first, last_loss=last)
+
+    # ---------------- prover with the trained generator ----------------
+    from reprover_tpu.prover import (
+        LocalTacticGenerator,
+        environment_from_dataset,
+        evaluate,
+    )
+
+    gen_model = TacticGeneratorModel(
+        gstate.params, icfg, max_inp_seq_len=SEQ, max_oup_seq_len=32,
+        bucket_multiple=SEQ,
+    )
+    # sample generations vs ground truth
+    with open(f"{DATA}/val.json") as f:
+        _val_dbg = json.load(f)
+    dbg_states = [t["traced_tactics"][0]["state_before"] for t in _val_dbg[:4]]
+    dbg_truth = [t["traced_tactics"][0]["tactic"] for t in _val_dbg[:4]]
+    outs = gen_model.generate(dbg_states, num_samples=4)
+    for st, tr, cands in zip(dbg_states, dbg_truth, outs):
+        log(stage="sample", truth=tr, top=[c[0] for c in cands[:2]], hit=tr in [c[0] for c in cands])
+    with open(f"{DATA}/val.json") as f:
+        val = json.load(f)
+    env = environment_from_dataset(val)
+    t0 = time.time()
+    pass_1 = evaluate(
+        DATA, env, LocalTacticGenerator(gen_model),
+        split="val", num_theorems=30, num_sampled_tactics=4,
+        timeout=60, max_expansions=8, num_workers=1,
+    )
+    log(stage="prover", pass_1=round(pass_1, 4),
+        minutes=round((time.time() - t0) / 60, 1))
+
+
+if __name__ == "__main__":
+    main()
