@@ -27,7 +27,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 DATA = "/tmp/synth_e2e/data/random"
 CORPUS = "/tmp/synth_e2e/data/corpus.jsonl"
@@ -114,8 +113,9 @@ def main():
     )
     gdm.setup("fit")
     gparams = init_params(jax.random.PRNGKey(1), cfg)
-    gstate = init_train_state(gparams, make_optimizer(3e-4, 100))
-    gstep = make_train_step(generation_loss, cfg, make_optimizer(3e-4, 100))
+    gtx = make_optimizer(3e-4, 100)
+    gstate = init_train_state(gparams, gtx)
+    gstep = make_train_step(generation_loss, cfg, gtx)
     n = 0
     t0 = time.time()
     first = last = None
@@ -154,9 +154,7 @@ def main():
     outs = gen_model.generate(dbg_states, num_samples=4)
     for st, tr, cands in zip(dbg_states, dbg_truth, outs):
         log(stage="sample", truth=tr, top=[c[0] for c in cands[:2]], hit=tr in [c[0] for c in cands])
-    with open(f"{DATA}/val.json") as f:
-        val = json.load(f)
-    env = environment_from_dataset(val)
+    env = environment_from_dataset(_val_dbg)
     t0 = time.time()
     pass_1 = evaluate(
         DATA, env, LocalTacticGenerator(gen_model),
