@@ -413,3 +413,55 @@ class TestServiceAndDistributed:
             num_workers=2,
         )
         assert pass_1 == pytest.approx(2 / 3)
+
+
+class TestEdgeResults:
+    def test_tactic_timeout_result_is_error_node(self):
+        """A returned TacticTimeout terminates the branch as FAILED
+        (`proof_search.py:256-261`)."""
+        from reprover_tpu.prover import TacticTimeout
+
+        env = FakeEnvironment(
+            init_states={"goal": "⊢ G"},
+            transitions={("⊢ G", "slow"): TacticTimeout()},
+        )
+        gen = ScriptedGenerator({"⊢ G": [("slow", -0.1)]})
+        prover = BestFirstSearchProver(gen, env, 60, None, 4, debug=True)
+        result = prover.search(thm("goal"), Pos(1, 1))
+        assert result.status == Status.FAILED
+
+    def test_proof_given_up_is_error_node(self):
+        from reprover_tpu.prover import ProofGivenUp
+
+        env = FakeEnvironment(
+            init_states={"goal": "⊢ G"},
+            transitions={("⊢ G", "sorry"): ProofGivenUp("⊢ G")},
+        )
+        gen = ScriptedGenerator({"⊢ G": [("sorry", -0.1)]})
+        prover = BestFirstSearchProver(gen, env, 60, None, 4, debug=True)
+        result = prover.search(thm("goal"), Pos(1, 1))
+        assert result.status == Status.FAILED
+
+    def test_wallclock_timeout_resets_root(self):
+        """Global timeout (not expansions) hits the same root-reset quirk."""
+        import time as _time
+
+        class SlowEnv(FakeEnvironment):
+            pass
+
+        env = FakeEnvironment(
+            init_states={"goal": "⊢ G"},
+            transitions={("⊢ G", "t1"): "⊢ A", ("⊢ A", "t2"): "⊢ B"},
+        )
+
+        class SlowGen(TacticGenerator):
+            async def generate(self, state, file_path, theorem_full_name,
+                               theorem_pos, num_samples):
+                _time.sleep(0.15)
+                return {"⊢ G": [("t1", -0.1)], "⊢ A": [("t2", -0.1)]}.get(state, [])
+
+        prover = BestFirstSearchProver(SlowGen(), env, timeout=0.1,
+                                       max_expansions=None, num_sampled_tactics=4)
+        result = prover.search(thm("goal"), Pos(1, 1))
+        assert result.status == Status.OPEN  # limit hit, root reset
+        assert result.total_time >= 0.1
