@@ -26,7 +26,7 @@ logger = logging.getLogger(__name__)
 
 
 def validation_metrics(
-    retriever, loader, num_retrieved: int = 100
+    retriever, loader, num_retrieved: int = 100, reindex_batch_size: int = 64
 ) -> Dict[str, float]:
     """Recall@1..num_retrieved (%) + MRR over an eval loader.
 
@@ -35,7 +35,7 @@ def validation_metrics(
     """
     recall = [[] for _ in range(num_retrieved)]
     mrr: List[float] = []
-    retriever.reindex_corpus(batch_size=32)
+    retriever.reindex_corpus(batch_size=reindex_batch_size)
 
     for batch in loader:
         retrieved, _ = retriever.retrieve_batch(batch["context"], num_retrieved)
@@ -61,9 +61,15 @@ def validation_metrics(
     return metrics
 
 
-def predict(retriever, loader, num_retrieved: int = 100) -> List[Dict[str, Any]]:
-    """Per-tactic retrieval records (`retrieval/model.py:281-327` schema)."""
-    retriever.reindex_corpus(batch_size=32)
+def predict(
+    retriever, loader, num_retrieved: int = 100, reindex_batch_size: int = 64
+) -> List[Dict[str, Any]]:
+    """Per-tactic retrieval records (`retrieval/model.py:281-327` schema).
+
+    ``reindex_batch_size`` defaults to the reference's eval/index batch of 64
+    (`retrieval/index.py:24`); the in-retriever lazy reindex keeps the
+    reference's 32 (`retrieval/model.py:348`)."""
+    retriever.reindex_corpus(batch_size=reindex_batch_size)
     outputs: List[Dict[str, Any]] = []
     for batch in loader:
         retrieved, scores = retriever.retrieve_batch(batch["context"], num_retrieved)
