@@ -25,14 +25,19 @@ SEQ_LEN = 1024
 
 
 def main() -> None:
-    from reprover_tpu.models.t5 import byt5_small, encode, init_params
+    from reprover_tpu.models.t5 import (
+        byt5_small,
+        encode,
+        fuse_mlp_params,
+        init_params,
+    )
     from reprover_tpu.ops import masked_mean_normalize
 
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = byt5_small(
         compute_dtype=jnp.bfloat16, flash_encoder=on_tpu, unroll_encoder=on_tpu
     )
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
     # Store weights in bf16 so HBM reads are not 2x inflated by fp32 casts.
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 

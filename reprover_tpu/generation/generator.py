@@ -115,6 +115,10 @@ class TacticGeneratorModel:
             flash_encoder=on_tpu,
             unroll_encoder=on_tpu,
         )
+        if on_tpu:
+            from reprover_tpu.models.t5 import fuse_mlp_params
+
+            params = fuse_mlp_params(params)
         if quantize:
             # Weight-only int8: halves the HBM weight traffic that bounds
             # per-token decode (near-lossless per-channel quantization).

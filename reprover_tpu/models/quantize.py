@@ -81,7 +81,7 @@ def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype) -> jnp.ndarray:
 
 
 _T5_MATMUL_KEYS = frozenset(
-    {"q", "k", "v", "o", "wi_0", "wi_1", "wo", "lm_head"}
+    {"q", "k", "v", "o", "wi_0", "wi_1", "wi", "wo", "lm_head"}
 )
 
 

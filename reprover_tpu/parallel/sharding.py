@@ -39,8 +39,10 @@ def _attn_specs(layered: bool) -> Dict[str, P]:
     }
 
 
-def _mlp_specs(layered: bool) -> Dict[str, P]:
+def _mlp_specs(layered: bool, fused: bool = False) -> Dict[str, P]:
     l = (None,) if layered else ()
+    if fused:  # pre-fused gate|up projection (t5.fuse_mlp_params)
+        return {"wi": P(*l, None, "model"), "wo": P(*l, "model", None)}
     return {
         "wi_0": P(*l, None, "model"),
         "wi_1": P(*l, None, "model"),
@@ -61,6 +63,7 @@ def param_partition_specs(
     if not model_parallel:
         return jax.tree.map(lambda _: P(), params)
 
+    fused = "wi" in params["encoder"]["layers"]["mlp"]
     norm = P(None, None)  # [L, d_model]
     out: Params = {
         "shared_embedding": P(None, None),
@@ -69,7 +72,7 @@ def param_partition_specs(
             "layers": {
                 "attn": _attn_specs(True),
                 "attn_norm": norm,
-                "mlp": _mlp_specs(True),
+                "mlp": _mlp_specs(True, fused),
                 "mlp_norm": norm,
             },
             "final_norm": P(None),
@@ -83,7 +86,7 @@ def param_partition_specs(
                 "self_norm": norm,
                 "cross_attn": _attn_specs(True),
                 "cross_norm": norm,
-                "mlp": _mlp_specs(True),
+                "mlp": _mlp_specs(True, fused),
                 "mlp_norm": norm,
             },
             "final_norm": P(None),

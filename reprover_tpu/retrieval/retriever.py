@@ -94,6 +94,10 @@ class PremiseRetriever:
             flash_encoder=on_tpu,
             unroll_encoder=on_tpu,
         )
+        if on_tpu:
+            from reprover_tpu.models.t5 import fuse_mlp_params
+
+            params = fuse_mlp_params(params)
         return cls(params, cfg, max_seq_len, num_retrieved, mesh)
 
     @property

@@ -210,3 +210,36 @@ def test_shift_right():
     np.testing.assert_array_equal(
         np.asarray(shifted), [[0, 5, 6], [0, 7, 0]]
     )
+
+
+def test_fused_mlp_params_numerics():
+    """fuse_mlp_params is a pure layout change: encode/decode identical."""
+    import numpy as np
+
+    from reprover_tpu.models.t5 import (
+        T5Config,
+        decode,
+        encode,
+        fuse_mlp_params,
+        init_params,
+        shift_right,
+    )
+
+    cfg = T5Config(
+        d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=2,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fused = fuse_mlp_params(params)
+    assert "wi" in fused["encoder"]["layers"]["mlp"]
+    assert "wi_0" not in fused["encoder"]["layers"]["mlp"]
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 24)), jnp.int32)
+    mask = jnp.ones((2, 24), jnp.int32)
+    labels = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 8)), jnp.int32)
+    dec_in = shift_right(labels, cfg)
+
+    a = decode(params, cfg, encode(params, cfg, ids, mask), mask, dec_in)
+    b = decode(fused, cfg, encode(fused, cfg, ids, mask), mask, dec_in)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
