@@ -189,7 +189,18 @@ def export_hf_t5(
     def unstack(tree, i):
         import jax
 
-        return jax.tree.map(lambda x: np.asarray(x[i]), tree)
+        lp = jax.tree.map(lambda x: np.asarray(x[i]), tree)
+        # Split a serving-fused gate|up projection back into HF layout
+        # (t5.fuse_mlp_params is the inverse).
+        mlp = lp.get("mlp")
+        if mlp is not None and "wi" in mlp:
+            half = mlp["wi"].shape[-1] // 2
+            lp["mlp"] = {
+                "wi_0": mlp["wi"][..., :half],
+                "wi_1": mlp["wi"][..., half:],
+                "wo": mlp["wo"],
+            }
+        return lp
 
     put(
         "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",

@@ -115,6 +115,11 @@ def _build(cfg: RetrievalConfig):
         )
     if cfg.model.remat:
         model_cfg = dataclasses.replace(model_cfg, remat=True)
+    # Fused gate|up MLP layout: one wide matmul per layer (+8% measured);
+    # checkpoints store this layout, HF export splits it back.
+    from reprover_tpu.models.t5 import fuse_mlp_params
+
+    params = fuse_mlp_params(params)
     mesh = None
     if cfg.data_parallel and len(jax.devices()) > 1:
         # The data axis must divide the train batch size.

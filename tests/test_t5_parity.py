@@ -243,3 +243,32 @@ def test_fused_mlp_params_numerics():
     a = decode(params, cfg, encode(params, cfg, ids, mask), mask, dec_in)
     b = decode(fused, cfg, encode(fused, cfg, ids, mask), mask, dec_in)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_params_export_roundtrip(tmp_path):
+    """Serving-fused params export to HF split layout and reload identically."""
+    import numpy as np
+
+    from reprover_tpu.models.hf_import import export_hf_t5, load_hf_t5
+    from reprover_tpu.models.t5 import (
+        T5Config,
+        encode,
+        fuse_mlp_params,
+        init_params,
+    )
+
+    cfg = T5Config(
+        d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=2,
+    )
+    params = fuse_mlp_params(init_params(jax.random.PRNGKey(3), cfg))
+    out = str(tmp_path / "hf")
+    export_hf_t5(params, cfg, out)
+    reloaded, cfg2 = load_hf_t5(out)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    a = np.asarray(encode(params, cfg, ids, mask))
+    b = np.asarray(encode(reloaded, cfg2, ids, mask))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
