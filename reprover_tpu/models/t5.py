@@ -397,6 +397,60 @@ def encode(
     return rms_norm(h, enc["final_norm"], cfg.layer_norm_epsilon)
 
 
+def encode_sequence_parallel(
+    params: Params,
+    cfg: T5Config,
+    input_ids: jnp.ndarray,  # int [B, L] — L sharded over `axis`
+    attention_mask: jnp.ndarray,  # int [B, L]
+    mesh,
+    axis: str = "seq",
+) -> jnp.ndarray:
+    """Encoder forward with the sequence dimension sharded across the mesh.
+
+    Beyond-parity long-context capability (SURVEY.md §5): activations live
+    sequence-sharded on every device; self-attention runs as a ring over the
+    mesh axis (:func:`reprover_tpu.ops.ring_attention.ring_encoder_attention`)
+    while the position-independent blocks (norms, projections, MLP) compute
+    locally under GSPMD. Numerics match :func:`encode` exactly (tested on the
+    8-device CPU mesh).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from reprover_tpu.ops.ring_attention import ring_encoder_attention
+
+    dtype = cfg.compute_dtype
+    enc = params["encoder"]
+    seq_sh = NamedSharding(mesh, P(None, axis))
+    input_ids = jax.device_put(input_ids, seq_sh)
+    attention_mask = jax.device_put(attention_mask, seq_sh)
+    h = params["shared_embedding"].astype(dtype)[input_ids]
+
+    def layer(h, lp):
+        eps = cfg.layer_norm_epsilon
+        n = rms_norm(h, lp["attn_norm"], eps)
+        p = lp["attn"]
+        q = _split_heads(_dense(n, p["q"], dtype), cfg.num_heads, cfg.d_kv)
+        k = _split_heads(_dense(n, p["k"], dtype), cfg.num_heads, cfg.d_kv)
+        v = _split_heads(_dense(n, p["v"], dtype), cfg.num_heads, cfg.d_kv)
+        attn = ring_encoder_attention(
+            q,
+            k,
+            v,
+            attention_mask,
+            enc["rel_bias"],
+            mesh,
+            axis=axis,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )
+        h = h + _dense(_merge_heads(attn), p["o"], dtype)
+        h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
+        return h, None
+
+    h, _ = jax.lax.scan(layer, h, enc["layers"])
+    return rms_norm(h, enc["final_norm"], cfg.layer_norm_epsilon)
+
+
 # ------------------------------------------------------------------ #
 # Decoder (teacher-forced full-sequence)
 # ------------------------------------------------------------------ #

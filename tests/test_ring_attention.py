@@ -61,3 +61,27 @@ def test_ring_long_distance_buckets(mesh):
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) + bias
     ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_encode_sequence_parallel_matches_encode(mesh):
+    """Model-level SP encoder == single-device encoder, fused MLP included."""
+    from reprover_tpu.models.t5 import (
+        T5Config,
+        encode,
+        encode_sequence_parallel,
+        fuse_mlp_params,
+        init_params,
+    )
+
+    cfg = T5Config(
+        d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=1,
+    )
+    params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    B, L = 2, 64
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.2), jnp.int32).at[:, :2].set(1)
+    ref = encode(params, cfg, ids, mask)
+    sp = encode_sequence_parallel(params, cfg, ids, mask, mesh)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(sp), atol=2e-5, rtol=2e-5)
