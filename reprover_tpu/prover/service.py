@@ -90,6 +90,15 @@ class InferenceService:
             "device_time": 0.0,
         }
 
+    def stats_snapshot(self) -> Dict[str, float]:
+        """Serving counters + derived rates (observability, SURVEY.md §5):
+        mean coalesced batch size and device-time share per request."""
+        s = dict(self.stats)
+        if s["batches"]:
+            s["mean_batch_size"] = s["batched_requests"] / s["batches"]
+            s["device_time_per_request"] = s["device_time"] / s["requests"]
+        return s
+
     # -- lifecycle ---------------------------------------------------- #
 
     def client(self) -> "ServiceClient":

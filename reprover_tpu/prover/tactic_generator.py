@@ -148,7 +148,9 @@ class RetrievalAugmentedTacticGenerator(TacticGenerator):
         indexed_corpus_path: Optional[str] = None,
         max_inp_seq_len: int = 2048,
         max_num_retrieved: int = 100,
+        approximate: bool = False,
     ) -> None:
+        self.approximate = approximate
         self.gen = gen
         if isinstance(retriever_or_path, str):
             self._ret_path = retriever_or_path
@@ -166,7 +168,7 @@ class RetrievalAugmentedTacticGenerator(TacticGenerator):
             from reprover_tpu.retrieval import PremiseRetriever
 
             self.retriever = PremiseRetriever.load_hf(
-                self._ret_path, self.max_inp_seq_len
+                self._ret_path, self.max_inp_seq_len, approximate=self.approximate
             )
             assert self.indexed_corpus_path is not None
             self.retriever.load_corpus(self.indexed_corpus_path)

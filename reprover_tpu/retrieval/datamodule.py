@@ -48,6 +48,7 @@ class RetrievalDataset:
         is_train: bool,
         bucket_multiple: int = 128,
         seed: int = 0,
+        strict_negatives: bool = False,
     ) -> None:
         assert 0 <= num_in_file_negatives <= num_negatives
         self.corpus = corpus
@@ -56,6 +57,11 @@ class RetrievalDataset:
         self.max_seq_len = max_seq_len
         self.is_train = is_train
         self.bucket_multiple = bucket_multiple
+        # strict_negatives reproduces the reference's `random.sample`
+        # behavior exactly: too few accessible out-of-file premises is an
+        # error (`/root/reference/retrieval/datamodule.py:121-127`). Default
+        # off: small/synthetic corpora routinely hit it and back-fill instead.
+        self.strict_negatives = strict_negatives
         self.tokenizer = ByT5Tokenizer()
         self.rng = np.random.default_rng(seed)
         self.data: List[Example] = list(
@@ -137,7 +143,18 @@ class RetrievalDataset:
                 out_file.extend(self.corpus.get_premises(dep))
 
         k_in = min(len(in_file), self.num_in_file_negatives)
-        k_out = min(len(out_file), self.num_negatives - k_in)
+        if self.strict_negatives:
+            # Reference semantics: exactly num_negatives - k_in out-of-file
+            # samples, error if the pool is too small (random.sample raises,
+            # `retrieval/datamodule.py:121-127`).
+            k_out = self.num_negatives - k_in
+            if k_out > len(out_file):
+                raise ValueError(
+                    f"strict negative sampling: need {k_out} out-of-file "
+                    f"negatives but only {len(out_file)} accessible"
+                )
+        else:
+            k_out = min(len(out_file), self.num_negatives - k_in)
         # Scarce out-of-file pool: top back up from in-file (the reference's
         # `random.sample` would raise here, `retrieval/datamodule.py:123-127`;
         # real Mathlib corpora never hit it, small/synthetic ones do).
@@ -260,9 +277,11 @@ class RetrievalDataModule:
         max_seq_len: int,
         bucket_multiple: int = 128,
         seed: int = 0,
+        strict_negatives: bool = False,
     ) -> None:
         import os
 
+        self.strict_negatives = strict_negatives
         self.data_path = data_path
         self.num_negatives = num_negatives
         self.num_in_file_negatives = num_in_file_negatives
@@ -288,6 +307,7 @@ class RetrievalDataModule:
                 is_train,
                 self.bucket_multiple,
                 self.seed,
+                strict_negatives=self.strict_negatives,
             )
 
         self.ds_train = make([self._join("train")], True)

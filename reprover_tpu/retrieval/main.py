@@ -38,6 +38,9 @@ class ModelConfig:
     num_retrieved: int = 100
     random_init: bool = False  # skip HF weights (tests/smoke)
     tiny: bool = False  # tiny geometry smoke model (cli_dummy.yaml analog)
+    # lax.approx_max_k queries (recall 0.99, +42% QPS at 131k premises —
+    # BASELINE.md); default off for exact argsort rank parity.
+    approx: bool = False
     # Activation checkpointing (the reference cpu_checkpointing role,
     # default ON: byt5-small training at the reference batch size needs
     # ~60GB of activations without it - fine on an 80GB A100, fatal on a
@@ -55,6 +58,9 @@ class DataConfig:
     batch_size: int = 8
     eval_batch_size: int = 64
     max_seq_len: int = 1024
+    # Reference-exact negative sampling (errors on scarce out-of-file pools
+    # instead of back-filling) for strict-parity runs.
+    strict_negatives: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +96,7 @@ def _build(cfg: RetrievalConfig):
         eval_batch_size=cfg.data.eval_batch_size,
         max_seq_len=cfg.data.max_seq_len,
         seed=cfg.seed,
+        strict_negatives=cfg.data.strict_negatives,
     )
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -133,6 +140,7 @@ def _build(cfg: RetrievalConfig):
         max_seq_len=cfg.model.max_seq_len,
         num_retrieved=cfg.model.num_retrieved,
         mesh=mesh,
+        approximate=cfg.model.approx,
     )
     retriever.load_corpus(dm.corpus)
     return dm, retriever, model_cfg, mesh

@@ -45,6 +45,7 @@ class PremiseRetriever:
         num_retrieved: int = 100,
         mesh=None,
         bucket_multiple: int = 128,
+        approximate: bool = False,
     ) -> None:
         self.params = params
         self.cfg = cfg
@@ -52,6 +53,10 @@ class PremiseRetriever:
         self.num_retrieved = num_retrieved
         self.mesh = mesh
         self.bucket_multiple = bucket_multiple
+        # lax.approx_max_k query path: +42% QPS at 131k premises, recall 0.99
+        # (BASELINE.md). Off by default — exact rank parity with the
+        # reference's argsort (`common.py:308`) needs lax.top_k.
+        self.approximate = approximate
         self.tokenizer = ByT5Tokenizer()
         self.corpus: Optional[Corpus] = None
         self.corpus_embeddings: Optional[jnp.ndarray] = None  # [N, D] fp32
@@ -75,6 +80,7 @@ class PremiseRetriever:
         num_retrieved: int = 100,
         mesh=None,
         compute_dtype=None,
+        approximate: bool = False,
     ) -> "PremiseRetriever":
         """Load an HF retriever checkpoint (encoder-only or full T5).
 
@@ -98,7 +104,9 @@ class PremiseRetriever:
             from reprover_tpu.models.t5 import fuse_mlp_params
 
             params = fuse_mlp_params(params)
-        return cls(params, cfg, max_seq_len, num_retrieved, mesh)
+        return cls(
+            params, cfg, max_seq_len, num_retrieved, mesh, approximate=approximate
+        )
 
     @property
     def embedding_size(self) -> int:
@@ -228,7 +236,11 @@ class PremiseRetriever:
         ctx_emb = self.encode_strings([c.serialize() for c in contexts])
         mask = self.corpus.accessible_mask_batch(contexts)  # [B, N] bool host
         values, indices = cosine_topk(
-            jnp.asarray(ctx_emb), self.corpus_embeddings, jnp.asarray(mask), k
+            jnp.asarray(ctx_emb),
+            self.corpus_embeddings,
+            jnp.asarray(mask),
+            k,
+            approximate=self.approximate,
         )
         values = np.asarray(values)
         indices = np.asarray(indices)

@@ -122,6 +122,9 @@ class Trainer:
                             )
                             done = True
                             break
+                    # Validation/ckpt time must not pollute the next
+                    # steps_per_sec window (it covers train steps only).
+                    t_last = time.monotonic()
                 if step >= cfg.max_steps:
                     done = True
                     break

@@ -91,6 +91,47 @@ class TestRetrievalDataset:
         # Column b + 0*b + 0 = example 0's first negative == ex1's positive.
         assert batch2["label"][1, 2] == 1.0
 
+    def test_strict_negatives_raises_on_scarce_pool(
+        self, toy_corpus, toy_dataset_dir
+    ):
+        # Reference parity: `random.sample` errors when the accessible
+        # out-of-file pool is smaller than requested
+        # (`/root/reference/retrieval/datamodule.py:121-127`). The toy corpus
+        # has far fewer accessible premises than 50 negatives.
+        import os
+
+        ds = RetrievalDataset(
+            [os.path.join(toy_dataset_dir, "train.json")],
+            toy_corpus,
+            num_negatives=50,
+            num_in_file_negatives=1,
+            max_seq_len=256,
+            is_train=True,
+            seed=7,
+            strict_negatives=True,
+        )
+        with pytest.raises(ValueError, match="strict negative sampling"):
+            _ = ds[0]
+
+    def test_strict_negatives_ok_when_pool_suffices(
+        self, toy_corpus, toy_dataset_dir
+    ):
+        import os
+
+        ds = RetrievalDataset(
+            [os.path.join(toy_dataset_dir, "train.json")],
+            toy_corpus,
+            num_negatives=2,
+            num_in_file_negatives=1,
+            max_seq_len=256,
+            is_train=True,
+            seed=7,
+            strict_negatives=True,
+        )
+        ex = ds[0]
+        assert len(ex["neg_premises"]) == 2
+        assert all(n != ex["pos_premise"] for n in ex["neg_premises"])
+
     def test_collate_shapes_bucketed(self, train_ds):
         batch = train_ds.collate([train_ds[0], train_ds[1]])
         assert batch["context_ids"].shape[1] % 128 == 0
