@@ -38,6 +38,9 @@ class ModelConfig:
     # batch size needs ~60GB of activations without it — fine on an 80GB
     # A100, fatal on a 16GB v5e.
     remat: bool = True
+    # Adam moments in TPU host memory, streamed per update (the reference's
+    # DeepSpeedCPUAdam role, `common.py:387-393`).
+    offload_optimizer: bool = False
 
 
 @dataclasses.dataclass
@@ -117,6 +120,11 @@ def _build(cfg: GenerationConfig):
         params, model_cfg = load_hf_t5(cfg.model.model_name, compute_dtype=dtype)
     if cfg.model.remat:
         model_cfg = dataclasses.replace(model_cfg, remat=True)
+    if on_tpu:
+        # Pallas flash encoder now has a custom-VJP backward, so training
+        # uses it too (the 2300-byte reference input pads to 2304, which is
+        # 128-aligned and flash-eligible).
+        model_cfg = dataclasses.replace(model_cfg, flash_encoder=True)
     # Fused gate|up MLP layout (+8% measured); HF export splits it back.
     from reprover_tpu.models.t5 import fuse_mlp_params
 
@@ -210,7 +218,17 @@ def run_fit(cfg: GenerationConfig, environment=None) -> None:
     dm.setup("fit")
     tx = make_optimizer(cfg.model.lr, cfg.model.warmup_steps)
     state = init_train_state(model.params, tx)
-    step_fn = make_train_step(generation_loss, model_cfg, tx, mesh=mesh)
+    if cfg.model.offload_optimizer:
+        from reprover_tpu.training import offload_opt_state
+
+        state = offload_opt_state(state, mesh)
+    step_fn = make_train_step(
+        generation_loss,
+        model_cfg,
+        tx,
+        mesh=mesh,
+        offload_opt=cfg.model.offload_optimizer,
+    )
     writer = make_writer(cfg.log_dir, stdout_every=cfg.trainer.log_interval)
     writer.write_hparams(config_to_dict(cfg))
 
@@ -232,6 +250,8 @@ def run_fit(cfg: GenerationConfig, environment=None) -> None:
             dm.val_dataloader(),
             num_beams=cfg.model.num_beams,
             limit_batches=cfg.limit_val_batches,
+            writer=writer,
+            step=step,
         )
         if cfg.eval.num_theorems > 0:
             metrics["Pass@1_val"] = _end_to_end_pass1(

@@ -28,10 +28,14 @@ def validation_metrics(
     loader,
     num_beams: int = 1,
     limit_batches: Optional[int] = None,
+    writer=None,  # Optional[MetricWriter]: emits sample text tables
+    step: int = 0,
+    num_text_samples: int = 8,
 ) -> Dict[str, float]:
     losses = []
     correct = np.zeros(num_beams, dtype=np.int64)
     total = 0
+    samples = []
 
     for i, batch in enumerate(loader):
         if limit_batches is not None and i >= limit_batches:
@@ -51,15 +55,29 @@ def validation_metrics(
         )
         if num_beams > 0:
             candidates = model.generate(batch["state"], num_beams)
-            for cands, target in zip(candidates, batch["tactic"]):
+            for state, cands, target in zip(
+                batch["state"], candidates, batch["tactic"]
+            ):
                 texts = [remove_marks(t) for t, _ in cands]
                 tgt = remove_marks(target)
                 for k in range(num_beams):
                     if tgt in texts[: k + 1]:
                         correct[k:] += 1
                         break
+                if len(samples) < num_text_samples:
+                    # Sample input/output rows (the reference's WandB tables,
+                    # `generation/model.py:139-155`).
+                    samples.append(
+                        {
+                            "state": state,
+                            "ground_truth": tgt,
+                            "prediction": texts[0] if texts else "",
+                        }
+                    )
                 total += 1
 
+    if writer is not None and samples:
+        writer.write_text(step, "val_samples", samples)
     metrics: Dict[str, float] = {"loss_val": float(np.mean(losses)) if losses else 0.0}
     if total:
         for k in range(num_beams):

@@ -1,31 +1,53 @@
-"""Pallas TPU kernel: fused T5 encoder self-attention.
+"""Pallas TPU kernels: fused T5 encoder self-attention, forward and backward.
 
 Replaces the naive path's HBM round-trips — materializing ``[B, H, L, L]``
 scores, adding the precomputed ``[1, H, L, L]`` position-bias tensor, and a
 separate softmax pass (measured at ~20% of encoder step time at L=1024) —
-with one kernel per batch element that keeps everything in VMEM.
+with kernels that keep everything in VMEM.
 
-Layout choice (measured on v5e): the kernel consumes q/k/v in the **flat
-``[B, L, H*d]`` projection layout** and emits the same layout. Per-head
+Layout choice (measured on v5e): the kernels consume q/k/v in the **flat
+``[B, L, H*d]`` projection layout** and emit the same layout. Per-head
 views are lane slices inside VMEM, and the K "transpose" is folded into the
 in-kernel ``dot_general`` contraction. This avoids the
 ``[B, L, H, d] -> [B, H, L, d]`` relayouts the naive path needs around its
 batched matmuls — those relayouts (or an XLA-level ``swapaxes`` feeding the
 kernel) measured 2-3x slower than this form.
 
-Per head:
-- scores tile ``[L, L]`` = q_h @ k_h^T on the MXU (T5: unscaled);
+Per head (forward):
+- scores tile ``[BQ, L]`` = q_h @ k_h^T on the MXU (T5: unscaled);
 - the T5 relative-position bias is computed *inside* the kernel from the
   log-bucket formula (exact HF semantics) on broadcasted iotas — shared
   across heads — plus a 32-way select against the tiny per-head bias
-  vector: zero HBM bias traffic;
+  vector: zero HBM bias traffic. The select chain builds a standalone bias
+  tile (not in-place on scores) so the VPU selects overlap the MXU matmul;
 - the padding mask folds in as ``-1e10``;
 - exact fp32 softmax over the full row (K is VMEM-resident), probs @ v_h on
   the MXU.
 
-Forward-only: training keeps the naive composable path (XLA autodiff);
-inference (corpus re-indexing, query encoding, beam-search encoder) uses
-this kernel. Numerics match the naive path to bf16 tolerance (tested).
+Backward (``jax.custom_vjp``, enabling the kernel in *training* — the
+reference trains attention through torch autograd,
+`/root/reference/retrieval/model.py:116-140`): flash-style recomputation,
+no ``[L, L]`` residuals ever touch HBM. ``delta = rowsum(dO * O)`` (exactly
+``rowsum(P * dP)``) is computed in XLA from the saved forward output, then
+two kernels run:
+
+1. grid (batch, q-block): recompute scores/softmax (full KV row in VMEM),
+   emit dQ = dS @ K and the per-row LSE, and accumulate the
+   relative-position-bias gradient via per-bucket masked sums (SMEM scalar
+   accumulation, revisited across the whole grid);
+2. grid (batch, kv-block): rebuild P^T tiles from Q and the saved LSE,
+   dS^T from delta, emit dK = dS^T @ Q and dV = P^T @ dO — each output
+   block written exactly once (no accumulators).
+
+VMEM-stack discipline (Mosaic allocates kernel temporaries statically, ~2
+live tiles per unrolled select chain per head): the backward kernels run
+their select chains over <=~1024-wide static column chunks, which bounds
+the stack at L=2304 under the 16 MB limit. ``fori_loop`` versions measured
+2.5x slower (32 serialized VPU passes don't pipeline) — keep chains
+unrolled.
+
+Numerics match the naive path to bf16 tolerance in both directions
+(tested: forward and gradient parity vs XLA autodiff of the naive path).
 """
 
 from __future__ import annotations
@@ -35,6 +57,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,16 +65,24 @@ NEG_INF = -1e10
 
 
 def _bucket_map(
-    q_start: jnp.ndarray,  # scalar int32 — first query row of this block
-    block_q: int,
-    kv_len: int,
+    row_start: jnp.ndarray,  # scalar int32 — first row of this block
+    block_rows: int,
+    num_cols: int,
     num_buckets: int,
     max_distance: int,
+    transposed: bool = False,
 ) -> jnp.ndarray:
-    """[block_q, kv_len] int32 T5 bidirectional relative-position buckets."""
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, kv_len), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, kv_len), 1)
-    rel = cols - rows  # memory_position - query_position
+    """[block_rows, num_cols] int32 T5 bidirectional relative-position buckets.
+
+    Forward orientation (rows = query, cols = memory): rel = col - row.
+    ``transposed`` (rows = memory, cols = query): rel = row - col — used by
+    the dK/dV kernel whose tiles are the transpose of the score matrix.
+    """
+    rows = row_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, num_cols), 0
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_cols), 1)
+    rel = (rows - cols) if transposed else (cols - rows)
 
     half = num_buckets // 2
     ret = jnp.where(rel > 0, half, 0).astype(jnp.int32)
@@ -65,6 +96,39 @@ def _bucket_map(
     ).astype(jnp.int32)
     rp_large = jnp.minimum(rp_large, half - 1)
     return ret + jnp.where(is_small, rp, rp_large)
+
+
+def _chunk_cols(cols: int, target: int = 1024) -> int:
+    """Largest 128-aligned column-chunk width <= ~target that divides cols."""
+    blocks = max(cols // 128, 1)
+    n = (cols + target - 1) // target
+    while blocks % n:
+        n += 1
+    return cols // n
+
+
+def _bias_tile(bucket, get_rel, num_buckets: int, chunked: bool = False):
+    """[rows, cols] fp32 bias tile from the bucket map + per-bucket scalars.
+
+    Standalone select chain on zeros (independent of the score matmul, so
+    the VPU work overlaps the MXU). ``chunked`` splits columns into static
+    slices to bound the chain's live temporaries.
+    """
+    cols = bucket.shape[1]
+    chunk = _chunk_cols(cols) if chunked else cols
+    parts = []
+    for c0 in range(0, cols, chunk):
+        bk = bucket[:, c0 : c0 + chunk]
+        t = jnp.zeros(bk.shape, jnp.float32)
+        for b in range(num_buckets):
+            t = jnp.where(bk == b, get_rel(b), t)
+        parts.append(t)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+# ------------------------------------------------------------------ #
+# Forward kernel
+# ------------------------------------------------------------------ #
 
 
 def _encoder_attn_kernel(
@@ -101,9 +165,7 @@ def _encoder_attn_kernel(
         )  # [BQ, L] fp32
 
         rel_vec = rel_ref[h, 0]  # [num_buckets]
-        bias = jnp.zeros_like(scores)
-        for b in range(num_buckets):
-            bias = jnp.where(bucket == b, rel_vec[b], bias)
+        bias = _bias_tile(bucket, lambda b: rel_vec[b], num_buckets)
         scores += bias + mask_bias
 
         # Exact fp32 softmax (full row resident in VMEM).
@@ -117,41 +179,24 @@ def _encoder_attn_kernel(
         ).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_heads",
-        "num_buckets",
-        "max_distance",
-        "block_q",
-        "interpret",
-    ),
-)
-def encoder_flash_attention(
-    q: jnp.ndarray,  # [B, L, H*d] — raw projection layout
-    k: jnp.ndarray,  # [B, L, H*d]
-    v: jnp.ndarray,  # [B, L, H*d]
-    mask: jnp.ndarray,  # [B, L] int {0,1}
-    rel_bias: jnp.ndarray,  # [num_buckets, H] fp32 (HF layout)
-    num_heads: int,
-    num_buckets: int = 32,
-    max_distance: int = 128,
-    block_q: int = 1024,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused bidirectional T5 self-attention -> [B, L, H*d]."""
+def _pick_block(block_q: int, l: int, tile_bytes: int, budget_bytes: int) -> int:
+    """Largest 128-multiple query block whose score tiles fit the budget."""
+    budget_rows = max(128, budget_bytes // (tile_bytes * l))
+    for cand in (block_q, 512, 256, 128):
+        if cand <= budget_rows and l % cand == 0 and cand <= l:
+            return cand
+    return l
+
+
+def _forward_impl(
+    q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+):
     b, l, inner = q.shape
     # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
     # live (scores, bucket map, bias, exp); budget them to ~8 MB so the
     # whole cell (plus K/V and double-buffered blocks) stays under the
     # 16 MB VMEM limit.
-    budget_rows = max(128, (8 * 1024 * 1024) // (16 * l))
-    for cand in (block_q, 512, 256, 128):
-        if cand <= budget_rows and l % cand == 0 and cand <= l:
-            block_q = cand
-            break
-    else:
-        block_q = l
+    block_q = _pick_block(block_q, l, 16, 8 * 1024 * 1024)
     # Singleton middle dims keep the trailing block dims equal to the full
     # array dims (Mosaic's (8, 128)-or-full tiling rule).
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
@@ -202,3 +247,310 @@ def encoder_flash_attention(
         ),
         interpret=interpret,
     )(q, k, v, mask3, rel_hb)
+
+
+# ------------------------------------------------------------------ #
+# Backward kernels
+# ------------------------------------------------------------------ #
+
+
+def _bwd_dq_kernel(
+    q_ref,  # [1, 1, BQ, d]
+    k_ref,  # [1, 1, L, d]
+    v_ref,  # [1, 1, L, d]
+    do_ref,  # [1, 1, BQ, d]
+    mask_ref,  # [1, 1, L] int32
+    rel_ref,  # [H, 1, nb] fp32 in SMEM
+    delta_ref,  # [1, 1, 1, BQ] fp32 — rowsum(dO*O), precomputed in XLA
+    dq_ref,  # [1, 1, BQ, d]
+    lse_ref,  # [1, 1, 1, BQ] fp32
+    db_ref,  # [H, 1, nb] fp32 in SMEM — revisited across the whole grid
+    *,
+    num_buckets: int,
+    max_distance: int,
+):
+    block_q = q_ref.shape[2]
+    kv_len = k_ref.shape[2]
+    h, bi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    bucket = _bucket_map(qi * block_q, block_q, kv_len, num_buckets, max_distance)
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
+
+    @pl.when(jnp.logical_and(bi == 0, qi == 0))
+    def _init_dbias():
+        for b in range(num_buckets):
+            db_ref[h, 0, b] = 0.0
+
+    qh, kh, vh, doh = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    bias = _bias_tile(bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True)
+    scores += bias + mask_bias
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l_ = jnp.sum(p, axis=-1, keepdims=True)
+    probs = p / l_  # fp32 [BQ, L]
+    lse_ref[0, 0, 0, :] = (m + jnp.log(l_))[:, 0]
+
+    dp = jax.lax.dot_general(
+        doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, L]
+    delta = delta_ref[0, 0, 0, :][:, None]  # [BQ, 1]
+    ds = probs * (dp - delta)  # fp32 [BQ, L]
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(qh.dtype), kh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    # Relative-bias gradient: bias is shared across all (i, j) with the
+    # same bucket, so d_bias[h, b] = sum of dS over that bucket's cells,
+    # accumulated as SMEM scalars across the whole grid. Column-chunked:
+    # the bias chain's and this chain's temporaries do not share VMEM-stack
+    # slots, and unchunked they jointly overflow the 16 MB limit at L=2304
+    # (measured 27.6M; chunked-both fits).
+    chunk = _chunk_cols(kv_len)
+    for b in range(num_buckets):
+        acc = None
+        for c0 in range(0, kv_len, chunk):
+            part = jnp.sum(
+                jnp.where(
+                    bucket[:, c0 : c0 + chunk] == b, ds[:, c0 : c0 + chunk], 0.0
+                )
+            )
+            acc = part if acc is None else acc + part
+        db_ref[h, 0, b] += acc
+
+
+def _bwd_dkv_kernel(
+    k_ref,  # [1, 1, BK, d]
+    v_ref,  # [1, 1, BK, d]
+    q_ref,  # [1, 1, L, d]
+    do_ref,  # [1, 1, L, d]
+    mask_ref,  # [1, 1, BK] int32 — kv-side mask for this block's rows
+    rel_ref,  # [H, 1, nb] fp32 in SMEM
+    lse_ref,  # [1, 1, 1, L] fp32
+    delta_ref,  # [1, 1, 1, L] fp32
+    dk_ref,  # [1, 1, BK, d]
+    dv_ref,  # [1, 1, BK, d]
+    *,
+    num_buckets: int,
+    max_distance: int,
+):
+    block_kv = k_ref.shape[2]
+    q_len = q_ref.shape[2]
+    h, ki = pl.program_id(0), pl.program_id(2)
+
+    bucket = _bucket_map(
+        ki * block_kv, block_kv, q_len, num_buckets, max_distance, transposed=True
+    )
+    # Rows are kv positions here: masked keys score -1e10 so P^T rows vanish
+    # exactly (exp underflows to 0), matching the naive path.
+    row_bias = jnp.transpose(
+        jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
+    )  # [BK, 1]
+
+    kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
+
+    scores_t = jax.lax.dot_general(
+        kh, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, L] — transpose of the forward scores
+    bias = _bias_tile(bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True)
+    scores_t += bias + row_bias
+
+    p_t = jnp.exp(scores_t - lse_ref[0, 0, 0, :][None, :])  # P^T, exact
+    dp_t = jax.lax.dot_general(
+        vh, doh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, L] = dP^T
+    ds_t = p_t * (dp_t - delta_ref[0, 0, 0, :][None, :])
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p_t.astype(doh.dtype), doh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds_t.astype(qh.dtype), qh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _backward_impl(
+    q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance, interpret
+):
+    """Backward pass in the head-grid layout.
+
+    The forward's flat [B, L, H*d] layout with an in-kernel head loop
+    overflows the VMEM stack in backward (Mosaic allocates each head
+    iteration's temporaries statically: measured 30 MB at L=2304 vs the
+    16 MB limit). Heads become a grid dimension instead — one head's
+    temporaries per step — at the cost of [B, L, H, d] <-> [B, H, L, d]
+    relayouts outside the kernels (~100 MB of HBM traffic per layer at
+    L=2304, ~0.15 ms — noise next to the [L, L, d] matmuls).
+    """
+    b, l, inner = q.shape
+    nb = num_buckets
+    h = num_heads
+    d = inner // h
+    # ~7 live fp32 [BQ, L] tiles per step (bucket/bias/scores/p/probs/dp/dS).
+    block = _pick_block(1024, l, 28, 8 * 1024 * 1024)
+    rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
+
+    def to_heads(x):  # [B, L, H*d] -> [B, H, L, d]
+        return x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+
+    def to_flat(x):  # [B, H, L, d] -> [B, L, H*d]
+        return x.transpose(0, 2, 1, 3).reshape(b, l, inner)
+
+    qh, kh, vh, gh = to_heads(q), to_heads(k), to_heads(v), to_heads(g)
+
+    # delta_i = rowsum(P * dP)_i == (dO_i . O_i) — computed from the saved
+    # forward output with one fused elementwise+reduce, no [L, L] tensor.
+    delta = jnp.einsum(
+        "blhd,blhd->bhl",
+        g.reshape(b, l, h, d).astype(jnp.float32),
+        out.reshape(b, l, h, d).astype(jnp.float32),
+    )[:, :, None, :]  # [B, H, 1, L] fp32 (singleton keeps blocks tileable)
+
+    # Backward ~2.5x forward FLOPs (5 [L,L,d]-class matmuls vs 2).
+    flops = 5 * 2 * b * h * l * l * d + 60 * b * h * l * l
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, num_buckets=num_buckets, max_distance=max_distance
+    )
+    dqh, lse, db = pl.pallas_call(
+        dq_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1, nb), jnp.float32),
+        ),
+        grid=(h, b, l // block),
+        in_specs=[
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, bi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, bi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda hi, bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, block), lambda hi, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), lambda hi, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * 3 // 5,
+            bytes_accessed=q.size * 10,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, gh, mask3, rel_hb, delta)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, num_buckets=num_buckets, max_distance=max_distance
+    )
+    dkh, dvh = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, l, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, l, d), v.dtype),
+        ),
+        grid=(h, b, l // block),
+        in_specs=[
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda hi, bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, l), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, l), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * 2 // 5,
+            bytes_accessed=q.size * 10,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(kh, vh, qh, gh, mask3, rel_hb, lse, delta)
+
+    d_rel = db[:, 0, :].T.astype(rel_bias.dtype)  # [nb, H]
+    return to_flat(dqh), to_flat(dkh), to_flat(dvh), d_rel
+
+
+# ------------------------------------------------------------------ #
+# custom_vjp wiring
+# ------------------------------------------------------------------ #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(
+    q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+):
+    return _forward_impl(
+        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+    )
+
+
+def _flash_fwd(
+    q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+):
+    out = _forward_impl(
+        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+    )
+    # Flash-style residuals: inputs + output, never the [L, L] intermediates.
+    return out, (q, k, v, mask, rel_bias, out)
+
+
+def _flash_bwd(num_heads, num_buckets, max_distance, block_q, interpret, res, g):
+    q, k, v, mask, rel_bias, out = res
+    dq, dk, dv, d_rel = _backward_impl(
+        q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance,
+        interpret,
+    )
+    if jnp.issubdtype(mask.dtype, jnp.floating):
+        dmask = jnp.zeros_like(mask)
+    else:  # integer mask: the cotangent space is float0
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dmask, d_rel
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "num_buckets",
+        "max_distance",
+        "block_q",
+        "interpret",
+    ),
+)
+def encoder_flash_attention(
+    q: jnp.ndarray,  # [B, L, H*d] — raw projection layout
+    k: jnp.ndarray,  # [B, L, H*d]
+    v: jnp.ndarray,  # [B, L, H*d]
+    mask: jnp.ndarray,  # [B, L] int {0,1}
+    rel_bias: jnp.ndarray,  # [num_buckets, H] fp32 (HF layout)
+    num_heads: int,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+    block_q: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused bidirectional T5 self-attention -> [B, L, H*d]. Differentiable
+    (custom VJP with Pallas backward kernels) — usable in training."""
+    return _flash_attention(
+        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+    )

@@ -47,6 +47,10 @@ class ModelConfig:
     # 16GB v5e; remat trades ~30% recompute for 5x memory),
     # `retrieval/model.py:96-99`): rematerialize each layer in backward.
     remat: bool = True
+    # Adam moments in TPU host memory, streamed per update (the reference's
+    # DeepSpeedCPUAdam role, `common.py:387-393`): frees ~2x params of HBM
+    # for bigger batches on 16GB chips.
+    offload_optimizer: bool = False
 
 
 @dataclasses.dataclass
@@ -122,6 +126,9 @@ def _build(cfg: RetrievalConfig):
         )
     if cfg.model.remat:
         model_cfg = dataclasses.replace(model_cfg, remat=True)
+    if on_tpu:
+        # Pallas flash encoder with custom-VJP backward: on for training too.
+        model_cfg = dataclasses.replace(model_cfg, flash_encoder=True)
     # Fused gate|up MLP layout: one wide matmul per layer (+8% measured);
     # checkpoints store this layout, HF export splits it back.
     from reprover_tpu.models.t5 import fuse_mlp_params
@@ -160,7 +167,17 @@ def run_fit(cfg: RetrievalConfig) -> None:
     dm.setup("fit")
     tx = make_optimizer(cfg.model.lr, cfg.model.warmup_steps)
     state = init_train_state(retriever.params, tx)
-    step_fn = make_train_step(retrieval_loss, model_cfg, tx, mesh=mesh)
+    if cfg.model.offload_optimizer:
+        from reprover_tpu.training import offload_opt_state
+
+        state = offload_opt_state(state, mesh)
+    step_fn = make_train_step(
+        retrieval_loss,
+        model_cfg,
+        tx,
+        mesh=mesh,
+        offload_opt=cfg.model.offload_optimizer,
+    )
     writer = make_writer(cfg.log_dir, stdout_every=cfg.trainer.log_interval)
     writer.write_hparams(config_to_dict(cfg))
 

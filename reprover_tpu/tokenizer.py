@@ -114,8 +114,11 @@ class ByT5Tokenizer:
         if pad_to is not None:
             target = pad_to
         else:
-            target = round_to_bucket(longest, bucket_multiple, max_length)
-            target = max(target, longest)  # never truncate below actual length
+            # Content is already truncated at max_length; the padded width may
+            # exceed it so every batch is 128-aligned (e.g. the reference's
+            # 2300-byte generator input pads to 2304, keeping the Pallas flash
+            # encoder eligible). Extra columns are masked, hence inert.
+            target = round_to_bucket(longest, bucket_multiple)
         input_ids = np.full((len(seqs), target), PAD_ID, dtype=np.int32)
         mask = np.zeros((len(seqs), target), dtype=np.int32)
         for i, s in enumerate(seqs):

@@ -11,6 +11,7 @@ from reprover_tpu.training.tasks import (
     make_eval_step,
     make_train_step,
     numeric_batch,
+    offload_opt_state,
     retrieval_loss,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "make_eval_step",
     "make_train_step",
     "numeric_batch",
+    "offload_opt_state",
     "retrieval_loss",
 ]

@@ -18,11 +18,17 @@ from typing import Dict, List, Optional
 logger = logging.getLogger(__name__)
 
 Scalars = Dict[str, float]
+TextRows = List[Dict[str, str]]
 
 
 class MetricWriter:
     def write(self, step: int, scalars: Scalars) -> None:
         raise NotImplementedError
+
+    def write_text(self, step: int, key: str, rows: TextRows) -> None:
+        """Log a small table of text samples (the reference's WandB
+        input/output tables during generator validation,
+        `/root/reference/generation/model.py:139-155`). Optional."""
 
     def write_hparams(self, hparams: Dict) -> None:
         pass
@@ -40,6 +46,11 @@ class JsonlWriter(MetricWriter):
 
     def write(self, step: int, scalars: Scalars) -> None:
         rec = {"step": step, "time": time.time(), **scalars}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def write_text(self, step: int, key: str, rows: TextRows) -> None:
+        rec = {"step": step, "text_table": key, "rows": rows}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
 
@@ -74,6 +85,15 @@ class WandbWriter(MetricWriter):
     def write(self, step: int, scalars: Scalars) -> None:
         self._wandb.log(scalars, step=step)
 
+    def write_text(self, step: int, key: str, rows: TextRows) -> None:
+        if not rows:
+            return
+        cols = list(rows[0].keys())
+        table = self._wandb.Table(
+            columns=cols, data=[[r.get(c, "") for c in cols] for r in rows]
+        )
+        self._wandb.log({key: table}, step=step)
+
     def write_hparams(self, hparams: Dict) -> None:
         self.run.config.update(hparams, allow_val_change=True)
 
@@ -88,6 +108,10 @@ class MultiWriter(MetricWriter):
     def write(self, step: int, scalars: Scalars) -> None:
         for w in self.writers:
             w.write(step, scalars)
+
+    def write_text(self, step: int, key: str, rows: TextRows) -> None:
+        for w in self.writers:
+            w.write_text(step, key, rows)
 
     def write_hparams(self, hparams: Dict) -> None:
         for w in self.writers:

@@ -29,7 +29,7 @@ OPS = ["+", "*", "⊓", "⊔", "∘"]
 NOUNS = ["add", "mul", "inf", "sup", "comp"]
 
 
-def _premise(fi: int, k: int, rng: random.Random):
+def _premise(fi: int, k: int, rng: random.Random, mathlib_lengths: bool = False):
     op = rng.choice(OPS)
     noun = rng.choice(NOUNS)
     name = f"Syn.f{fi}.{noun}_{k}"
@@ -37,6 +37,22 @@ def _premise(fi: int, k: int, rng: random.Random):
         f"theorem {name.split('.')[-1]} (a b : Nat) : "
         f"a {op} b = b {op} a := by synth_tac_{fi}_{k}"
     )
+    if mathlib_lengths:
+        # Mathlib-like serialized-length distribution: lognormal body around
+        # ~150 bytes with a heavy tail, clipped to the retriever's 1024-byte
+        # budget (`retrieval/confs/cli_lean4_random.yaml:50`).
+        target = int(min(max(rng.lognormvariate(4.8, 0.9), 40), 1100))
+        hyps = []
+        j = 0
+        while sum(len(h) + 1 for h in hyps) + len(code) < target:
+            hyps.append(
+                f"(h{j} : x{j} {rng.choice(OPS)} y{j} = "
+                f"{rng.choice(NOUNS)}_{rng.randrange(100)} z{j})"
+            )
+            j += 1
+        if hyps:
+            head, tail = code.split(" : ", 1)
+            code = head + " " + " ".join(hyps) + " : " + tail
     line = k * 4 + 1
     return {
         "full_name": name,
@@ -46,7 +62,13 @@ def _premise(fi: int, k: int, rng: random.Random):
     }
 
 
-def make_corpus(path: str, n_files: int, per_file: int, seed: int) -> list:
+def make_corpus(
+    path: str,
+    n_files: int,
+    per_file: int,
+    seed: int,
+    mathlib_lengths: bool = False,
+) -> list:
     rng = random.Random(seed)
     files = []
     with open(path, "w") as f:
@@ -56,34 +78,66 @@ def make_corpus(path: str, n_files: int, per_file: int, seed: int) -> list:
                 imports = sorted(
                     {f"Syn/F{j}.lean" for j in rng.sample(range(i), min(3, i))}
                 )
-            premises = [_premise(i, k, rng) for k in range(per_file)]
+            premises = [
+                _premise(i, k, rng, mathlib_lengths) for k in range(per_file)
+            ]
             rec = {"path": f"Syn/F{i}.lean", "imports": imports, "premises": premises}
             files.append(rec)
             f.write(json.dumps(rec) + "\n")
     return files
 
 
-def make_theorems(files: list, n_theorems: int, seed: int) -> list:
-    """Theorems proved by applying 1-3 premises from imported files."""
+def make_theorems(
+    files: list,
+    n_theorems: int,
+    seed: int,
+    max_steps: int = 3,
+    min_accessible: int = 0,
+) -> list:
+    """Theorems proved by applying 1..max_steps premises from imported files.
+
+    ``min_accessible`` restricts host files to those whose transitive
+    closure holds at least that many premises — needed when evaluating with
+    the reference's ``num_retrieved=100`` (retrieval errors on queries with
+    fewer than k accessible premises, `common.py:323-324`).
+    """
     rng = random.Random(seed + 1)
     # transitive imports per file (files are topologically ordered)
     closure = {}
     by_path = {f["path"]: f for f in files}
+    prem_path = {}  # premise full_name -> defining file path
     for f in files:
         deps = set()
         for imp in f["imports"]:
             deps.add(imp)
             deps |= closure[imp]
         closure[f["path"]] = deps
+        for p in f["premises"]:
+            prem_path[p["full_name"]] = f["path"]
+
+    # Candidate premise lists cached per host file (reference scale makes
+    # the per-theorem rebuild O(theorems * corpus) otherwise).
+    cand_cache: dict = {}
+
+    def candidates_for(path: str) -> list:
+        if path not in cand_cache:
+            cand_cache[path] = [
+                p for d in closure[path] for p in by_path[d]["premises"]
+            ]
+        return cand_cache[path]
+
+    hosts = [
+        i
+        for i in range(1, len(files))
+        if len(candidates_for(files[i]["path"])) >= max(min_accessible, 1)
+    ]
+    assert hosts, "no file has enough accessible premises"
 
     theorems = []
     for t in range(n_theorems):
-        fi = rng.randrange(1, len(files))
-        host = files[fi]
-        candidates = [p for d in closure[host["path"]] for p in by_path[d]["premises"]]
-        if not candidates:
-            continue
-        steps = rng.randint(1, 3)
+        host = files[rng.choice(hosts)]
+        candidates = candidates_for(host["path"])
+        steps = rng.randint(1, max_steps)
         used = rng.sample(candidates, min(steps, len(candidates)))
         name = f"Syn.thm_{t}"
         goal_terms = " ".join(p["full_name"].split(".")[-1] for p in used)
@@ -119,10 +173,9 @@ def make_theorems(files: list, n_theorems: int, seed: int) -> list:
                 }
             )
             # fill provenance path
-            for d in closure[host["path"]]:
-                if prem in by_path[d]["premises"]:
-                    tactics[-1]["annotated_tactic"][1][0]["def_path"] = d
-                    break
+            tactics[-1]["annotated_tactic"][1][0]["def_path"] = prem_path[
+                prem["full_name"]
+            ]
         theorems.append(
             {
                 "url": "https://example.com/synthetic",
@@ -178,6 +231,20 @@ def main() -> None:
     parser.add_argument("--premises-per-file", type=int, default=43)
     parser.add_argument("--num-theorems", type=int, default=2000)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--max-steps", type=int, default=3, help="max proof steps per theorem"
+    )
+    parser.add_argument(
+        "--mathlib-lengths",
+        action="store_true",
+        help="Mathlib-like premise-length distribution (lognormal, <=1.1kB)",
+    )
+    parser.add_argument(
+        "--min-accessible",
+        type=int,
+        default=0,
+        help="host theorems only in files with >= this many accessible premises",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -187,8 +254,15 @@ def main() -> None:
         args.num_files,
         args.premises_per_file,
         args.seed,
+        mathlib_lengths=args.mathlib_lengths,
     )
-    theorems = make_theorems(files, args.num_theorems, args.seed)
+    theorems = make_theorems(
+        files,
+        args.num_theorems,
+        args.seed,
+        max_steps=args.max_steps,
+        min_accessible=args.min_accessible,
+    )
     with open(os.path.join(args.out, "metadata.json"), "w") as f:
         json.dump(
             {"from_repo": {"url": "https://example.com/synthetic", "commit": "0" * 40}},

@@ -60,6 +60,94 @@ def test_flash_falls_back_on_unaligned_length():
     assert out.shape == (2, 100, cfg.d_model)
 
 
+def _einsum_reference(q, k, v, mask, rel, H, d):
+    from reprover_tpu.models.t5 import (
+        T5Config,
+        _mask_bias,
+        compute_position_bias,
+    )
+
+    B, L = q.shape[0], q.shape[1]
+    cfg = T5Config(num_heads=H, d_kv=d)
+    qh = q.reshape(B, L, H, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, L, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, L, H, d).transpose(0, 2, 1, 3)
+    pos = jnp.arange(L)
+    bias = compute_position_bias(rel, pos, pos, True, cfg) + _mask_bias(mask)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    return (
+        jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, L, H * d)
+    )
+
+
+def test_kernel_gradients_vs_reference_math():
+    """custom-VJP backward kernels == XLA autodiff of the einsum reference
+    for dq/dk/dv and the relative-bias gradient."""
+    from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    B, H, L, d = 2, 4, 256, 8
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.2), jnp.int32).at[:, 0].set(1)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    # Non-uniform cotangent so every gradient path is exercised.
+    w = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+
+    def loss_flash(q, k, v, rel):
+        out = encoder_flash_attention(
+            q, k, v, mask, rel, num_heads=H, interpret=True
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(_einsum_reference(q, k, v, mask, rel, H, d) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, gf, gr in zip(("dq", "dk", "dv", "drel"), g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_encoder_gradients_flash_vs_naive_under_remat():
+    """Model-level: grad of a pooled loss through the flash encoder (with
+    remat, the training configuration) matches the naive path."""
+    import dataclasses as dc
+
+    from reprover_tpu.ops import masked_mean_normalize
+
+    cfg_naive = dc.replace(TINY, remat=True)
+    cfg_flash = dc.replace(TINY, remat=True, flash_encoder=True)
+    params = init_params(jax.random.PRNGKey(1), TINY)
+    rng = np.random.default_rng(5)
+    B, L = 2, 256
+    ids = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.25), jnp.int32).at[:, :4].set(1)
+
+    def loss(params, cfg):
+        emb = masked_mean_normalize(encode(params, cfg, ids, mask), mask)
+        return jnp.sum(emb * emb[::-1])
+
+    g_naive = jax.grad(loss)(params, cfg_naive)
+    g_flash = jax.grad(loss)(params, cfg_flash)
+    flat_n, _ = jax.tree_util.tree_flatten_with_path(g_naive)
+    flat_f = jax.tree_util.tree_leaves(g_flash)
+    for (path, gn), gf in zip(flat_n, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(gf),
+            np.asarray(gn),
+            atol=5e-5,
+            rtol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_kernel_direct_vs_reference_math():
     """Drive the kernel directly against an einsum reference."""
     from reprover_tpu.ops.flash_attention import encoder_flash_attention

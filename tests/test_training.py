@@ -179,3 +179,60 @@ class TestShardedTrainStep:
         )
         _, loss_b = step_b(state_b, batch)
         assert float(loss_a) == pytest.approx(float(loss_b), rel=2e-4)
+
+
+def test_offload_opt_state_matches_on_device():
+    """Host-offloaded optimizer state (pinned_host streaming) produces the
+    same update as the on-device step (DeepSpeedCPUAdam role,
+    `/root/reference/common.py:387-393`)."""
+    import jax
+
+    # The CPU backend advertises pinned_host but aborts executing a jit that
+    # streams between memory kinds — this path is TPU-only.
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("pinned_host streaming requires a TPU backend")
+
+    import numpy as np
+
+    from reprover_tpu.models.t5 import T5Config, init_params
+    from reprover_tpu.training import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        offload_opt_state,
+        retrieval_loss,
+    )
+
+    cfg = T5Config(
+        d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_encoder_layers=2, num_decoder_layers=1,
+    )
+    rng = np.random.default_rng(0)
+    b = 2
+    batch = {
+        "context_ids": jnp.asarray(rng.integers(3, 384, (b, 32)), jnp.int32),
+        "context_mask": jnp.ones((b, 32), jnp.int32),
+        "premise_ids": jnp.asarray(rng.integers(3, 384, (2 * b, 32)), jnp.int32),
+        "premise_mask": jnp.ones((2 * b, 32), jnp.int32),
+        "label": jnp.zeros((b, 2 * b), jnp.float32),
+    }
+    tx = make_optimizer(1e-3, 2)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    s_dev = init_train_state(params, tx)
+    dev_step = make_train_step(retrieval_loss, cfg, tx)
+    s_dev, loss_dev = dev_step(s_dev, batch)
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    s_host = offload_opt_state(init_train_state(params, tx))
+    host_step = make_train_step(retrieval_loss, cfg, tx, offload_opt=True)
+    s_host, loss_host = host_step(s_host, batch)
+
+    np.testing.assert_allclose(float(loss_dev), float(loss_host), rtol=1e-6)
+    for a, c in zip(jax.tree.leaves(s_dev.params), jax.tree.leaves(s_host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-6, atol=1e-7)
+    kinds_after = {
+        x.sharding.memory_kind for x in jax.tree.leaves(s_host.opt_state)
+        if hasattr(x, "sharding")
+    }
+    assert kinds_after == {"pinned_host"}

@@ -303,3 +303,71 @@ class TestResumeAndBest:
         assert mgr.best_step() == 2
         assert mgr.latest_step() == 3
         mgr.close()
+
+
+class TestTextTables:
+    def test_jsonl_write_text(self, tmp_path):
+        import json
+
+        from reprover_tpu.utils.metrics import JsonlWriter
+
+        path = str(tmp_path / "m.jsonl")
+        w = JsonlWriter(path)
+        rows = [{"state": "⊢ True", "ground_truth": "trivial", "prediction": "rfl"}]
+        w.write_text(7, "val_samples", rows)
+        w.close()
+        rec = json.loads(open(path).read().strip())
+        assert rec == {"step": 7, "text_table": "val_samples", "rows": rows}
+
+    def test_generation_validate_emits_samples(self):
+        """validation_metrics logs (state, ground truth, prediction) rows —
+        the reference's WandB tables (`generation/model.py:139-155`)."""
+        import jax
+        import jax.numpy as jnp
+
+        from reprover_tpu.generation.generator import TacticGeneratorModel
+        from reprover_tpu.generation.validate import validation_metrics
+        from reprover_tpu.models import init_params
+        from reprover_tpu.models.t5 import T5Config
+        from reprover_tpu.tokenizer import ByT5Tokenizer
+        from reprover_tpu.utils.metrics import MetricWriter
+
+        cfg = T5Config(
+            d_model=32, d_kv=8, d_ff=64, num_heads=4,
+            num_encoder_layers=2, num_decoder_layers=1,
+        )
+        model = TacticGeneratorModel(
+            init_params(jax.random.PRNGKey(0), cfg), cfg,
+            max_inp_seq_len=64, max_oup_seq_len=8,
+        )
+        tok = ByT5Tokenizer()
+        states = ["⊢ True", "⊢ 1 = 1"]
+        tactics = ["trivial", "rfl"]
+        b = tok(states, max_length=64, bucket_multiple=32)
+        t = tok(tactics, max_length=8, bucket_multiple=8)
+        labels = np.where(t.attention_mask == 1, t.input_ids, -100)
+        batch = {
+            "state": states, "tactic": tactics,
+            "state_ids": b.input_ids, "state_mask": b.attention_mask,
+            "tactic_ids": labels,
+        }
+
+        class Recorder(MetricWriter):
+            def __init__(self):
+                self.tables = []
+
+            def write(self, step, scalars):
+                pass
+
+            def write_text(self, step, key, rows):
+                self.tables.append((step, key, rows))
+
+        rec = Recorder()
+        metrics = validation_metrics(
+            model, [batch], num_beams=2, writer=rec, step=5
+        )
+        assert "top1_acc_val" in metrics
+        (step, key, rows), = rec.tables
+        assert step == 5 and key == "val_samples"
+        assert [r["state"] for r in rows] == states
+        assert all({"state", "ground_truth", "prediction"} <= set(r) for r in rows)
