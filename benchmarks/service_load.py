@@ -1,0 +1,125 @@
+"""InferenceService under concurrent search load (the vLLM role benchmark).
+
+N prover worker processes hammer one shared TPU service with 64-beam
+generate requests through the replay environment (instant "Lean", so the
+measurement isolates serving throughput — real searches add idle gaps the
+batching is designed to absorb,
+`/root/reference/prover/proof_search.py:332-366`).
+
+Geometry matches the round-1 expansion benchmark: random-weight byt5-small,
+input 512, output 128, 64 beams. Prints one JSON line per cell:
+expansions/s, searched nodes, and the service's batching stats.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/service_load"
+DATA = f"{ROOT}/data/random"
+
+
+def log(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def make_data():
+    if os.path.exists(f"{ROOT}/data/corpus.jsonl"):
+        return
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "make_synthetic_benchmark.py"),
+            "--out", f"{ROOT}/data",
+            "--num-files", "40", "--premises-per-file", "10",
+            "--num-theorems", "400", "--max-steps", "3",
+        ],
+        check=True,
+    )
+
+
+def run_cell(model, val, num_workers, max_batch, window_ms, num_theorems=24):
+    from reprover_tpu.prover import (
+        FixedTacticGenerator,
+        InferenceService,
+        environment_from_dataset,
+    )
+    from reprover_tpu.prover.distributed import DistributedProver
+    from reprover_tpu.prover.evaluate import get_theorems
+
+    service = InferenceService(
+        model, max_batch=max_batch, batch_window_s=window_ms / 1000.0
+    )
+    service.start()
+    try:
+        env = environment_from_dataset(val)
+        theorems, positions = get_theorems(DATA, split="val")
+        theorems, positions = theorems[:num_theorems], positions[:num_theorems]
+        prover = DistributedProver(
+            FixedTacticGenerator("unused"),
+            env,
+            num_workers,
+            timeout=600,
+            max_expansions=6,
+            num_sampled_tactics=64,
+            make_client=service.client,
+        )
+        t0 = time.time()
+        results = prover.search_unordered(theorems, positions)
+        wall = time.time() - t0
+    finally:
+        service.stop()
+    done = [r for r in results if r is not None]
+    expansions = sum(r.num_searched_nodes for r in done)
+    log(
+        workers=num_workers,
+        max_batch=max_batch,
+        window_ms=window_ms,
+        theorems=len(done),
+        expansions=expansions,
+        wall_s=round(wall, 1),
+        expansions_per_s=round(expansions / wall, 2),
+        stats={k: round(v, 3) if isinstance(v, float) else v
+               for k, v in service.stats_snapshot().items()},
+    )
+
+
+def main():
+    make_data()
+    import jax
+    import jax.numpy as jnp
+
+    from reprover_tpu.generation.generator import TacticGeneratorModel
+    from reprover_tpu.models.t5 import byt5_small, fuse_mlp_params, init_params
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = byt5_small(
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        flash_encoder=on_tpu,
+        unroll_encoder=on_tpu,
+    )
+    params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
+    model = TacticGeneratorModel(
+        params, cfg, max_inp_seq_len=512, max_oup_seq_len=128
+    )
+    with open(f"{DATA}/val.json") as f:
+        val = json.load(f)
+
+    for num_workers, max_batch, window_ms in (
+        (1, 8, 5.0),
+        (4, 8, 5.0),
+        (8, 8, 5.0),
+        (8, 16, 5.0),
+        (8, 16, 15.0),
+        (16, 16, 15.0),
+    ):
+        run_cell(model, val, num_workers, max_batch, window_ms)
+
+
+if __name__ == "__main__":
+    main()

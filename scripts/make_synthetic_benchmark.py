@@ -116,26 +116,30 @@ def make_theorems(
             prem_path[p["full_name"]] = f["path"]
 
     # Candidate premise lists cached per host file (reference scale makes
-    # the per-theorem rebuild O(theorems * corpus) otherwise).
-    cand_cache: dict = {}
+    # the per-theorem rebuild O(theorems * corpus) otherwise). The cache is
+    # bounded (closures at 3000 files hold tens of thousands of premises) —
+    # theorems are generated grouped by host so hits stay high.
+    import functools
 
+    @functools.lru_cache(maxsize=64)
     def candidates_for(path: str) -> list:
-        if path not in cand_cache:
-            cand_cache[path] = [
-                p for d in closure[path] for p in by_path[d]["premises"]
-            ]
-        return cand_cache[path]
+        return [p for d in closure[path] for p in by_path[d]["premises"]]
 
+    closure_premise_count = {
+        f["path"]: sum(len(by_path[d]["premises"]) for d in closure[f["path"]])
+        for f in files
+    }
     hosts = [
         i
         for i in range(1, len(files))
-        if len(candidates_for(files[i]["path"])) >= max(min_accessible, 1)
+        if closure_premise_count[files[i]["path"]] >= max(min_accessible, 1)
     ]
     assert hosts, "no file has enough accessible premises"
 
+    host_choices = sorted(rng.choices(hosts, k=n_theorems))
     theorems = []
     for t in range(n_theorems):
-        host = files[rng.choice(hosts)]
+        host = files[host_choices[t]]
         candidates = candidates_for(host["path"])
         steps = rng.randint(1, max_steps)
         used = rng.sample(candidates, min(steps, len(candidates)))
