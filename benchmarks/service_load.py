@@ -43,18 +43,27 @@ def make_data():
     )
 
 
-def run_cell(model, val, num_workers, max_batch, window_ms, num_theorems=24):
+def run_cell(
+    model, val, num_workers, max_batch, window_ms, num_theorems=24,
+    streaming=False, num_slots=8,
+):
     from reprover_tpu.prover import (
         FixedTacticGenerator,
         InferenceService,
+        StreamingInferenceService,
         environment_from_dataset,
     )
     from reprover_tpu.prover.distributed import DistributedProver
     from reprover_tpu.prover.evaluate import get_theorems
 
-    service = InferenceService(
-        model, max_batch=max_batch, batch_window_s=window_ms / 1000.0
-    )
+    if streaming:
+        service = StreamingInferenceService(
+            model, num_slots=num_slots, num_beams=64
+        )
+    else:
+        service = InferenceService(
+            model, max_batch=max_batch, batch_window_s=window_ms / 1000.0
+        )
     service.start()
     try:
         env = environment_from_dataset(val)
@@ -77,6 +86,8 @@ def run_cell(model, val, num_workers, max_batch, window_ms, num_theorems=24):
     done = [r for r in results if r is not None]
     expansions = sum(r.num_searched_nodes for r in done)
     log(
+        mode="streaming" if streaming else "coalescing",
+        slots=num_slots if streaming else None,
         workers=num_workers,
         max_batch=max_batch,
         window_ms=window_ms,
@@ -114,11 +125,14 @@ def main():
         (1, 8, 5.0),
         (4, 8, 5.0),
         (8, 8, 5.0),
-        (8, 16, 5.0),
         (8, 16, 15.0),
         (16, 16, 15.0),
     ):
         run_cell(model, val, num_workers, max_batch, window_ms)
+    for num_workers, num_slots in ((4, 4), (8, 8), (16, 8)):
+        run_cell(
+            model, val, num_workers, 0, 0.0, streaming=True, num_slots=num_slots
+        )
 
 
 if __name__ == "__main__":

@@ -37,7 +37,11 @@ from reprover_tpu.prover.tactic_generator import (
 from reprover_tpu.prover.api_generator import ApiTacticGenerator
 from reprover_tpu.prover.distributed import DistributedProver
 from reprover_tpu.prover.evaluate import aggregate_pass1, evaluate, get_theorems
-from reprover_tpu.prover.service import InferenceService, ServiceClient
+from reprover_tpu.prover.service import (
+    InferenceService,
+    ServiceClient,
+    StreamingInferenceService,
+)
 
 __all__ = [
     "Environment",
@@ -73,5 +77,6 @@ __all__ = [
     "evaluate",
     "get_theorems",
     "InferenceService",
+    "StreamingInferenceService",
     "ServiceClient",
 ]

@@ -186,6 +186,18 @@ def main() -> None:
         default=5.0,
         help="inference-service request-coalescing window",
     )
+    parser.add_argument(
+        "--streaming",
+        action="store_true",
+        help="token-level continuous batching (StepwiseBeamEngine) instead of "
+        "request coalescing",
+    )
+    parser.add_argument(
+        "--num-slots",
+        type=int,
+        default=8,
+        help="concurrent decode slots for --streaming",
+    )
     args = parser.parse_args()
 
     assert args.gen_ckpt_path or args.tactic
@@ -246,12 +258,22 @@ def main() -> None:
                 args.ret_ckpt_path, args.max_inp_seq_len, approximate=args.approx
             )
             retriever.load_corpus(args.indexed_corpus_path)
-        service = InferenceService(
-            model,
-            retriever=retriever,
-            max_batch=args.max_batch,
-            batch_window_s=args.batch_window_ms / 1000.0,
-        )
+        if args.streaming:
+            from reprover_tpu.prover.service import StreamingInferenceService
+
+            service = StreamingInferenceService(
+                model,
+                retriever=retriever,
+                num_slots=args.num_slots,
+                num_beams=args.num_sampled_tactics,
+            )
+        else:
+            service = InferenceService(
+                model,
+                retriever=retriever,
+                max_batch=args.max_batch,
+                batch_window_s=args.batch_window_ms / 1000.0,
+            )
         service.start()
         try:
             pass_1 = evaluate(

@@ -207,6 +207,144 @@ class InferenceService:
         ]
 
 
+class StreamingInferenceService(InferenceService):
+    """Token-level continuous batching (the full vLLM role).
+
+    Replaces the request-coalescing `_serve` loop with a
+    :class:`~reprover_tpu.generation.engine.StepwiseBeamEngine`: requests
+    join the running decode at chunk boundaries (``chunk_size`` tokens), so
+    a request arriving mid-decode waits ~chunk_size steps instead of a full
+    beam decode, and up to ``num_slots`` searches decode simultaneously.
+
+    Requests whose ``num_samples`` differs from the engine's beam width fall
+    back to the classic one-shot path (the prover uses one width,
+    `/root/reference/prover/evaluate.py:218`).
+    """
+
+    def __init__(
+        self,
+        generator,
+        retriever=None,
+        max_num_retrieved: int = 100,
+        num_slots: int = 8,
+        num_beams: int = 64,
+        chunk_size: int = 8,
+    ) -> None:
+        super().__init__(generator, retriever, max_num_retrieved)
+        self.num_slots = num_slots
+        self.num_beams = num_beams
+        self.chunk_size = chunk_size
+        self._engine = None  # built lazily on the serving thread
+        self.stats.update({"chunks": 0, "admissions": 0, "fallbacks": 0})
+
+    def _build_engine(self):
+        import jax.numpy as jnp
+
+        from reprover_tpu.generation.engine import StepwiseBeamEngine
+        from reprover_tpu.models.t5 import encode as t5_encode
+        from reprover_tpu.tokenizer import round_to_bucket
+
+        gen = self.generator
+        self._src_max = round_to_bucket(
+            gen.max_inp_seq_len, gen.bucket_multiple
+        )
+        self._engine = StepwiseBeamEngine(
+            gen.params,
+            gen.cfg,
+            num_slots=self.num_slots,
+            num_beams=self.num_beams,
+            max_src_len=self._src_max,
+            max_decode_len=gen.max_oup_seq_len,
+            length_penalty=gen.length_penalty,
+            chunk_size=self.chunk_size,
+        )
+        self._encode = lambda ids, mask: t5_encode(gen.params, gen.cfg, ids, mask)
+        self._jnp = jnp
+
+    def _admit(self, req: GenerateRequest, state_text: str, slot: int) -> None:
+        jnp = self._jnp
+        gen = self.generator
+        batch = gen.tokenizer(
+            [state_text],
+            max_length=gen.max_inp_seq_len,
+            bucket_multiple=gen.bucket_multiple,
+        )
+        ids = jnp.asarray(batch.input_ids)
+        mask = jnp.asarray(batch.attention_mask)
+        enc = self._encode(ids, mask)
+        pad = self._src_max - enc.shape[1]
+        if pad:
+            enc = jnp.pad(enc, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        self._engine.admit(slot, enc, mask)
+        self._slot_req[slot] = req
+        self.stats["admissions"] += 1
+
+    def _emit(self, slot: int) -> None:
+        import numpy as np  # noqa: F401  (tokenizer decode takes numpy rows)
+
+        seqs, scores, _ = self._engine.finalize(slot)
+        req = self._slot_req.pop(slot)
+        cands = [
+            (
+                self.generator.tokenizer.decode(seqs[k], skip_special_tokens=True),
+                float(scores[k]),
+            )
+            for k in range(self.num_beams)
+        ]
+        self._response_qs[req.client_id].put(GenerateResponse(req.req_id, cands))
+        self.stats["requests"] += 1
+
+    def _serve(self) -> None:
+        import queue as _q
+
+        self._build_engine()
+        self._slot_req: Dict[int, GenerateRequest] = {}
+        backlog: List[GenerateRequest] = []
+
+        while not self._stop.is_set():
+            # Drain without blocking while decodes are in flight.
+            block = not self._engine.has_active() and not backlog
+            try:
+                backlog.append(self.request_q.get(timeout=0.05 if block else 0.0))
+                while True:
+                    backlog.append(self.request_q.get_nowait())
+            except _q.Empty:
+                pass
+
+            # Admit into free slots (or fall back for mismatched widths).
+            free = self._engine.free_slots()
+            still: List[GenerateRequest] = []
+            for req in backlog:
+                try:
+                    if req.num_samples != self.num_beams:
+                        self.stats["fallbacks"] += 1
+                        self._serve_group([req], req.num_samples)
+                    elif free:
+                        state = (
+                            self._augment([req])[0]
+                            if self.retriever is not None
+                            else req.state
+                        )
+                        self._admit(req, state, free.pop(0))
+                    else:
+                        still.append(req)
+                except Exception as ex:  # containment per request
+                    self._response_qs[req.client_id].put(
+                        GenerateResponse(req.req_id, [], error=repr(ex))
+                    )
+            backlog = still
+
+            if not self._engine.has_active():
+                continue
+            t0 = time.monotonic()
+            self._engine.run_chunk()
+            self.stats["chunks"] += 1
+            self.stats["device_time"] += time.monotonic() - t0
+            for slot in self._engine.finished_slots():
+                self._emit(slot)
+
+
 class ServiceClient:
     """Picklable handle a prover worker uses to reach the service."""
 

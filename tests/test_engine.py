@@ -1,0 +1,164 @@
+"""Stepwise continuous-batching engine: exact parity with the classic
+one-shot beam search (HF semantics), including staggered admissions and
+slot reuse — the vLLM token-level batching role
+(`/root/reference/prover/proof_search.py:332-366`)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reprover_tpu.generation.engine import StepwiseBeamEngine
+from reprover_tpu.generation.generator import TacticGeneratorModel
+from reprover_tpu.models.t5 import T5Config, encode, init_params
+
+CFG = T5Config(
+    vocab_size=64,  # small vocab -> beams collide and EOS fires often
+    d_model=32,
+    d_kv=8,
+    d_ff=64,
+    num_heads=4,
+    num_encoder_layers=2,
+    num_decoder_layers=2,
+)
+SMAX = 32
+TDEC = 12
+K = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    model = TacticGeneratorModel(
+        params, CFG, max_inp_seq_len=SMAX, max_oup_seq_len=TDEC,
+        bucket_multiple=SMAX,
+    )
+    rng = np.random.default_rng(3)
+    texts = ["".join(chr(97 + rng.integers(0, 26)) for _ in range(n))
+             for n in (9, 14, 6, 11)]
+    classic = {
+        t: model.generate([t], num_samples=K, max_length=TDEC)[0] for t in texts
+    }
+    return params, model, texts, classic
+
+
+def _admit_text(engine, model, slot, text):
+    batch = model.tokenizer([text], max_length=SMAX, bucket_multiple=SMAX)
+    ids = jnp.asarray(batch.input_ids)
+    mask = jnp.asarray(batch.attention_mask)
+    enc = encode(engine.params, engine.cfg, ids, mask)
+    pad = SMAX - enc.shape[1]
+    if pad:
+        enc = jnp.pad(enc, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    engine.admit(slot, enc, mask)
+
+
+def _collect(engine, model):
+    """Run chunks until every active slot finishes; return {slot: [(text, score)]}."""
+    out = {}
+    for _ in range(64):
+        if not engine.has_active():
+            break
+        engine.run_chunk()
+        for slot in engine.finished_slots():
+            seqs, scores, _ = engine.finalize(slot)
+            out[slot] = [
+                (model.tokenizer.decode(seqs[k], skip_special_tokens=True),
+                 float(scores[k]))
+                for k in range(K)
+            ]
+    return out
+
+
+def _assert_same(got, want):
+    assert [t for t, _ in got] == [t for t, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_aligned_admissions_match_classic(setup):
+    params, model, texts, classic = setup
+    engine = StepwiseBeamEngine(
+        params, CFG, num_slots=2, num_beams=K,
+        max_src_len=SMAX, max_decode_len=TDEC, chunk_size=3,
+    )
+    _admit_text(engine, model, 0, texts[0])
+    _admit_text(engine, model, 1, texts[1])
+    results = _collect(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])
+
+
+def test_staggered_admissions_match_classic(setup):
+    """A request admitted mid-decode of another must not perturb either."""
+    params, model, texts, classic = setup
+    engine = StepwiseBeamEngine(
+        params, CFG, num_slots=2, num_beams=K,
+        max_src_len=SMAX, max_decode_len=TDEC, chunk_size=2,
+    )
+    _admit_text(engine, model, 0, texts[0])
+    engine.run_chunk()  # slot 0 is now 2 tokens deep
+    _admit_text(engine, model, 1, texts[1])
+    results = _collect(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])
+
+
+def test_slot_reuse_after_finalize(setup):
+    params, model, texts, classic = setup
+    engine = StepwiseBeamEngine(
+        params, CFG, num_slots=1, num_beams=K,
+        max_src_len=SMAX, max_decode_len=TDEC, chunk_size=4,
+    )
+    _admit_text(engine, model, 0, texts[2])
+    first = _collect(engine, model)
+    _assert_same(first[0], classic[texts[2]])
+    assert engine.free_slots() == [0]
+    _admit_text(engine, model, 0, texts[3])
+    second = _collect(engine, model)
+    _assert_same(second[0], classic[texts[3]])
+
+
+def test_streaming_service_matches_classic(setup):
+    """StreamingInferenceService candidates == classic generate, including a
+    mismatched-width request served through the fallback path."""
+    import asyncio
+
+    from reprover_tpu.data import Pos
+    from reprover_tpu.prover import StreamingInferenceService
+
+    params, model, texts, classic = setup
+    svc = StreamingInferenceService(
+        model, num_slots=2, num_beams=K, chunk_size=3
+    )
+    svc.start()
+    try:
+        clients = [svc.client() for _ in range(3)]
+
+        async def one(c, text, width):
+            return await c.agenerate(text, "a.lean", "t", Pos(1, 1), width)
+
+        async def go():
+            return await asyncio.gather(
+                one(clients[0], texts[0], K),
+                one(clients[1], texts[1], K),
+                one(clients[2], texts[2], 2),  # width mismatch -> fallback
+            )
+
+        r0, r1, r2 = asyncio.run(go())
+    finally:
+        svc.stop()
+
+    # Engine-served requests match the classic one-shot results exactly.
+    # (RemoteTacticGenerator-side postprocessing is not applied here:
+    # agenerate returns the raw candidates, same as generate.)
+    _assert_same(r0, classic[texts[0]])
+    _assert_same(r1, classic[texts[1]])
+    # Fallback path: classic generate at width 2.
+    want2 = model.generate([texts[2]], num_samples=2, max_length=TDEC)[0]
+    _assert_same(r2, want2)
+    snap = svc.stats_snapshot()
+    assert snap["admissions"] == 2 and snap["fallbacks"] == 1
