@@ -11,7 +11,7 @@ __all__ = [
 ]
 
 
-def __getattr__(name):
+def __getattr__(name: str) -> object:
     # Lazy: the causal generator pulls in transformers (tokenizer) only when
     # a decoder-only checkpoint is actually used.
     if name == "CausalTacticGeneratorModel":

@@ -47,11 +47,11 @@ class BeamSearchResult:
     scores: jnp.ndarray
     lengths: jnp.ndarray
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, ...], None]:
         return ((self.sequences, self.scores, self.lengths), None)
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "BeamSearchOutput":
         return cls(*children)
 
 

@@ -15,7 +15,7 @@ models are subword, not byte-level).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,7 @@ class CausalTacticGeneratorModel:
         self,
         params: Params,
         cfg: CausalLMConfig,
-        tokenizer,  # HF tokenizer (or anything with __call__/batch_decode)
+        tokenizer: Any,  # HF tokenizer (or anything with __call__/batch_decode)
         max_inp_seq_len: int,
         max_oup_seq_len: int,
         length_penalty: float = 0.0,
@@ -121,7 +121,7 @@ class CausalTacticGeneratorModel:
         max_oup_seq_len: int,
         length_penalty: float = 0.0,
         template: str = GOAL_TEMPLATE,
-        compute_dtype=None,
+        compute_dtype: Any = None,
     ) -> "CausalTacticGeneratorModel":
         from transformers import AutoTokenizer
 
@@ -138,7 +138,7 @@ class CausalTacticGeneratorModel:
             length_penalty, template,
         )
 
-    def _tokenize(self, prompts: Sequence[str]):
+    def _tokenize(self, prompts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         tok = self.tokenizer
         encoded = [tok(p, add_special_tokens=True)["input_ids"] for p in prompts]
         encoded = [ids[-self.max_inp_seq_len :] for ids in encoded]

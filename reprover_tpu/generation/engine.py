@@ -82,14 +82,14 @@ class EngineState:
     done: jnp.ndarray  # [S] bool — beam search finished
     active: jnp.ndarray  # [S] bool — slot occupied
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, ...], None]:
         return (
             tuple(getattr(self, f.name) for f in dataclasses.fields(self)),
             None,
         )
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "EngineState":
         return cls(*children)
 
 
@@ -123,7 +123,9 @@ def init_engine_state(
 # ------------------------------------------------------------------ #
 
 
-def _grouped_attention(q, k, v, bias, dtype):
+def _grouped_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray, dtype: jnp.dtype
+) -> jnp.ndarray:
     """q [S,K,H,1,d] x per-slot kv [S,H,Tk,d] (+bias broadcast) -> [S,K,H,1,d]."""
     scores = jnp.einsum(
         "skhqd,shtd->skhqt", q.astype(dtype), k.astype(dtype),
@@ -137,7 +139,9 @@ def _grouped_attention(q, k, v, bias, dtype):
     ).astype(dtype)
 
 
-def _beam_attention(q, k, v, bias, dtype):
+def _beam_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray, dtype: jnp.dtype
+) -> jnp.ndarray:
     """q [S,K,H,1,d] x per-beam kv [S,K,H,T,d] -> [S,K,H,1,d]."""
     scores = jnp.einsum(
         "skhqd,skhtd->skhqt", q.astype(dtype), k.astype(dtype),
@@ -233,7 +237,9 @@ def _engine_decode_step(
 # ------------------------------------------------------------------ #
 
 
-def _norm_scores(sum_logprobs, gen_len, length_penalty: float):
+def _norm_scores(
+    sum_logprobs: jnp.ndarray, gen_len: jnp.ndarray, length_penalty: float
+) -> jnp.ndarray:
     if length_penalty == 0.0:
         return sum_logprobs
     return sum_logprobs / jnp.power(
@@ -440,7 +446,7 @@ class StepwiseBeamEngine:
     def has_active(self) -> bool:
         return bool(np.asarray(self.state.active).any())
 
-    def admit(self, slot: int, enc_hidden, enc_mask) -> None:
+    def admit(self, slot: int, enc_hidden: jnp.ndarray, enc_mask: jnp.ndarray) -> None:
         """enc_hidden [1, Smax, D] (padded), enc_mask [1, Smax]."""
         self.state = self._admit_fn(
             self.params, self.state, jnp.asarray(slot, jnp.int32),

@@ -101,7 +101,7 @@ class TacticGeneratorModel:
         max_inp_seq_len: int,
         max_oup_seq_len: int,
         length_penalty: float = 0.0,
-        compute_dtype=None,
+        compute_dtype: Any = None,
         quantize: bool = False,
     ) -> "TacticGeneratorModel":
         on_tpu = jax.devices()[0].platform == "tpu"

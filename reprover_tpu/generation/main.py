@@ -13,7 +13,7 @@ import dataclasses
 import logging
 import os
 import sys
-from typing import Optional
+from typing import Any, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -78,7 +78,7 @@ class GenerationConfig:
     data_parallel: bool = True
 
 
-def _build(cfg: GenerationConfig):
+def _build(cfg: GenerationConfig) -> Tuple[Any, ...]:
     import jax.numpy as jnp
 
     from reprover_tpu.generation.datamodule import GeneratorDataModule
@@ -146,7 +146,7 @@ def _build(cfg: GenerationConfig):
 
 
 def _end_to_end_pass1(
-    cfg: GenerationConfig, model, environment=None, retriever=None
+    cfg: GenerationConfig, model: Any, environment: Any = None, retriever: Any = None
 ) -> float:
     """Run the prover on ``eval.num_theorems`` theorems with the current
     weights; returns Pass@1 (`generation/model.py:227-254`).
@@ -204,7 +204,7 @@ def _end_to_end_pass1(
     )
 
 
-def run_fit(cfg: GenerationConfig, environment=None) -> None:
+def run_fit(cfg: GenerationConfig, environment: Any = None) -> None:
     from reprover_tpu.generation.validate import validation_metrics
     from reprover_tpu.training import (
         generation_loss,
@@ -264,7 +264,7 @@ def run_fit(cfg: GenerationConfig, environment=None) -> None:
     writer.close()
 
 
-def run_validate(cfg: GenerationConfig, environment=None) -> None:
+def run_validate(cfg: GenerationConfig, environment: Any = None) -> None:
     from reprover_tpu.generation.validate import validation_metrics
     from reprover_tpu.utils import CheckpointManager
 
@@ -286,7 +286,7 @@ def run_validate(cfg: GenerationConfig, environment=None) -> None:
         print(f"{k}: {v}")
 
 
-def main(argv=None) -> None:
+def main(argv: Optional[List[str]] = None) -> None:
     logging.basicConfig(level=logging.INFO)
     subcommand, cfg = parse_config(
         GenerationConfig, argv if argv is not None else sys.argv[1:]

@@ -12,7 +12,7 @@ candidates exactly equals the ground-truth tactic (the reference's
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Any, Dict, Iterable, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,11 +24,11 @@ logger = logging.getLogger(__name__)
 
 
 def validation_metrics(
-    model,  # TacticGeneratorModel
-    loader,
+    model: Any,  # TacticGeneratorModel
+    loader: Iterable[Dict[str, Any]],
     num_beams: int = 1,
     limit_batches: Optional[int] = None,
-    writer=None,  # Optional[MetricWriter]: emits sample text tables
+    writer: Any = None,  # Optional[MetricWriter]: emits sample text tables
     step: int = 0,
     num_text_samples: int = 8,
 ) -> Dict[str, float]:

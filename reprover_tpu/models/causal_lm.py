@@ -96,14 +96,14 @@ def init_params(rng: jax.Array, cfg: CausalLMConfig) -> Params:
 # ------------------------------------------------------------------ #
 
 
-def _rms_norm(x, w, eps):
+def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     y = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), -1, keepdims=True) + eps)
     return (y * w.astype(jnp.float32)).astype(dtype)
 
 
-def _dense(x, w, dtype):
+def _dense(x: jnp.ndarray, w: jnp.ndarray, dtype: jnp.dtype) -> jnp.ndarray:
     return jnp.dot(
         x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
@@ -138,7 +138,14 @@ def _repeat_kv(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     return jnp.repeat(x, groups, axis=1)
 
 
-def _attention(q, k, v, bias, scale, dtype):
+def _attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    scale: float,
+    dtype: jnp.dtype,
+) -> jnp.ndarray:
     scores = (
         jnp.einsum(
             "bhqd,bhkd->bhqk",
@@ -156,12 +163,12 @@ def _attention(q, k, v, bias, scale, dtype):
     ).astype(dtype)
 
 
-def _split(x, heads, d):
+def _split(x: jnp.ndarray, heads: int, d: int) -> jnp.ndarray:
     b, t, _ = x.shape
     return x.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
 
 
-def _merge(x):
+def _merge(x: jnp.ndarray) -> jnp.ndarray:
     b, h, t, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
@@ -236,11 +243,11 @@ class CausalDecodeState:
     step: jnp.ndarray  # scalar: next write position
     position: jnp.ndarray  # [B] rope position of the next token
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, ...], None]:
         return ((self.k, self.v, self.key_mask, self.step, self.position), None)
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "DecodeCache":
         return cls(*children)
 
 

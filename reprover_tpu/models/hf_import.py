@@ -25,7 +25,7 @@ import numpy as np
 from reprover_tpu.models.t5 import Params, T5Config
 
 
-def config_from_hf(hf_cfg: Mapping[str, Any], **overrides) -> T5Config:
+def config_from_hf(hf_cfg: Mapping[str, Any], **overrides: object) -> T5Config:
     d = dict(
         vocab_size=hf_cfg["vocab_size"],
         d_model=hf_cfg["d_model"],
@@ -149,7 +149,7 @@ def params_from_torch_state_dict(
 
 
 def load_hf_t5(
-    ckpt_dir: str, encoder_only: bool = False, **config_overrides
+    ckpt_dir: str, encoder_only: bool = False, **config_overrides: object
 ) -> Tuple[Params, T5Config]:
     """Load a local HF T5/ByT5 checkpoint directory -> (params, config).
 

@@ -19,7 +19,7 @@ from reprover_tpu.models.causal_lm import CausalLMConfig, Params
 from reprover_tpu.models.hf_import import _load_state_dict
 
 
-def causal_config_from_hf(hf_cfg: Mapping[str, Any], **overrides) -> CausalLMConfig:
+def causal_config_from_hf(hf_cfg: Mapping[str, Any], **overrides: object) -> CausalLMConfig:
     fields = dict(
         vocab_size=hf_cfg["vocab_size"],
         d_model=hf_cfg["hidden_size"],
@@ -78,7 +78,7 @@ def causal_params_from_state_dict(
     return params
 
 
-def load_hf_causal_lm(ckpt_dir: str, **overrides) -> Tuple[Params, CausalLMConfig]:
+def load_hf_causal_lm(ckpt_dir: str, **overrides: object) -> Tuple[Params, CausalLMConfig]:
     """Load a local HF LLaMA-family directory -> (params, config)."""
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         hf_cfg = json.load(f)

@@ -33,11 +33,11 @@ class QuantWeight:
     q: jnp.ndarray
     scale: jnp.ndarray
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, jnp.ndarray], None]:
         return ((self.q, self.scale), None)
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "QuantWeight":
         return cls(*children)
 
     @property
@@ -45,7 +45,7 @@ class QuantWeight:
         return self.q.ndim
 
     @property
-    def shape(self):
+    def shape(self) -> tuple[int, ...]:
         return self.q.shape
 
 
@@ -59,7 +59,7 @@ def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     return QuantWeight(q=q, scale=scale)
 
 
-def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype) -> jnp.ndarray:
+def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.ndarray:
     """y = (x @ int8) * scale, fp32 accumulation.
 
     On TPU, 2-D weights route through the Pallas w8a16 kernel

@@ -25,7 +25,7 @@ Design choices (idiomatic JAX/XLA rather than a torch translation):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +67,7 @@ class T5Config:
         return self.num_heads * self.d_kv
 
 
-def byt5_small(**overrides) -> T5Config:
+def byt5_small(**overrides: object) -> T5Config:
     """google/byt5-small geometry (300M params)."""
     return T5Config(**overrides)
 
@@ -77,14 +77,14 @@ def byt5_small(**overrides) -> T5Config:
 # ------------------------------------------------------------------ #
 
 
-def _dense_init(rng, in_dim: int, out_dim: int, factor: float) -> jnp.ndarray:
+def _dense_init(rng: jax.Array, in_dim: int, out_dim: int, factor: float) -> jnp.ndarray:
     """T5-style init: normal(0, factor / sqrt(in_dim)). Stored as
     [in_dim, out_dim] (right-multiplication: y = x @ W)."""
     std = factor * (in_dim ** -0.5)
     return std * jax.random.normal(rng, (in_dim, out_dim), dtype=jnp.float32)
 
 
-def _attn_init(rng, cfg: T5Config) -> Params:
+def _attn_init(rng: jax.Array, cfg: T5Config) -> Params:
     kq, kk, kv, ko = jax.random.split(rng, 4)
     # T5 init: q ~ N(0, (d_model*d_kv)^-0.5), k/v ~ N(0, d_model^-0.5),
     # o ~ N(0, inner^-0.5).
@@ -97,7 +97,7 @@ def _attn_init(rng, cfg: T5Config) -> Params:
     }
 
 
-def _mlp_init(rng, cfg: T5Config) -> Params:
+def _mlp_init(rng: jax.Array, cfg: T5Config) -> Params:
     k0, k1, k2 = jax.random.split(rng, 3)
     return {
         "wi_0": _dense_init(k0, cfg.d_model, cfg.d_ff, 1.0),
@@ -106,7 +106,7 @@ def _mlp_init(rng, cfg: T5Config) -> Params:
     }
 
 
-def _stack(trees):
+def _stack(trees: Sequence[Params]) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
@@ -189,7 +189,7 @@ def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _dense(x: jnp.ndarray, w, dtype) -> jnp.ndarray:
+def _dense(x: jnp.ndarray, w: Any, dtype: jnp.dtype) -> jnp.ndarray:
     from reprover_tpu.models.quantize import QuantWeight, quantized_dense
 
     if isinstance(w, QuantWeight):  # weight-only int8 serving path
@@ -258,7 +258,7 @@ def attention(
     k: jnp.ndarray,  # [B, H, K, d]
     v: jnp.ndarray,  # [B, H, K, d]
     bias: Optional[jnp.ndarray],  # additive fp32 [B or 1, H or 1, Q, K]
-    dtype,
+    dtype: jnp.dtype,
 ) -> jnp.ndarray:
     """Unscaled dot-product attention with fp32 softmax (T5 has no 1/sqrt(d))."""
     scores = jnp.einsum(
@@ -402,7 +402,7 @@ def encode_sequence_parallel(
     cfg: T5Config,
     input_ids: jnp.ndarray,  # int [B, L] — L sharded over `axis`
     attention_mask: jnp.ndarray,  # int [B, L]
-    mesh,
+    mesh: jax.sharding.Mesh,
     axis: str = "seq",
 ) -> jnp.ndarray:
     """Encoder forward with the sequence dimension sharded across the mesh.
@@ -568,7 +568,7 @@ class DecodeState:
     cross_bias: jnp.ndarray
     step: jnp.ndarray
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, ...], None]:
         return (
             (
                 self.self_k,
@@ -583,7 +583,7 @@ class DecodeState:
         )
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "DecodeState":
         return cls(*children)
 
 

@@ -119,7 +119,9 @@ class _PyBpe:
         self.vocab.append(tok)
         return len(self.vocab) - 1
 
-    def train(self, texts: Sequence[str], vocab_size: int, specials: Sequence[str]):
+    def train(
+        self, texts: Sequence[str], vocab_size: int, specials: Sequence[str]
+    ) -> None:
         import heapq
         from collections import Counter, defaultdict
 
@@ -224,7 +226,7 @@ class BpeTokenizer:
         else:
             self._py = _PyBpe()
 
-    def __del__(self):
+    def __del__(self) -> None:
         lib = getattr(self, "_lib", None)
         if lib is not None and getattr(self, "_h", None):
             lib.bpe_free(self._h)

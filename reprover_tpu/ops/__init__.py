@@ -12,7 +12,7 @@ __all__ = [
 ]
 
 
-def __getattr__(name):
+def __getattr__(name: str) -> object:
     # Lazy: the attention kernels import pallas / shard_map machinery.
     if name == "encoder_flash_attention":
         from reprover_tpu.ops.flash_attention import encoder_flash_attention

@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -107,7 +108,12 @@ def _chunk_cols(cols: int, target: int = 1024) -> int:
     return cols // n
 
 
-def _bias_tile(bucket, get_rel, num_buckets: int, chunked: bool = False):
+def _bias_tile(
+    bucket: jax.Array,
+    get_rel: Callable[[int], jax.Array],
+    num_buckets: int,
+    chunked: bool = False,
+) -> jax.Array:
     """[rows, cols] fp32 bias tile from the bucket map + per-bucket scalars.
 
     Standalone select chain on zeros (independent of the score matmul, so
@@ -132,17 +138,17 @@ def _bias_tile(bucket, get_rel, num_buckets: int, chunked: bool = False):
 
 
 def _encoder_attn_kernel(
-    q_ref,  # [1, BQ, H*d]
-    k_ref,  # [1, L, H*d]
-    v_ref,  # [1, L, H*d]
-    mask_ref,  # [1, 1, L] int32
-    rel_ref,  # [H, 1, num_buckets] fp32
-    out_ref,  # [1, BQ, H*d]
+    q_ref: jax.Array,  # [1, BQ, H*d]
+    k_ref: jax.Array,  # [1, L, H*d]
+    v_ref: jax.Array,  # [1, L, H*d]
+    mask_ref: jax.Array,  # [1, 1, L] int32
+    rel_ref: jax.Array,  # [H, 1, num_buckets] fp32
+    out_ref: jax.Array,  # [1, BQ, H*d]
     *,
     num_heads: int,
     num_buckets: int,
     max_distance: int,
-):
+) -> None:
     block_q = q_ref.shape[1]
     kv_len = k_ref.shape[1]
     d = k_ref.shape[2] // num_heads
@@ -189,8 +195,17 @@ def _pick_block(block_q: int, l: int, tile_bytes: int, budget_bytes: int) -> int
 
 
 def _forward_impl(
-    q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
-):
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    rel_bias: jax.Array,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    block_q: int,
+    interpret: bool,
+) -> jax.Array:
     b, l, inner = q.shape
     # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
     # live (scores, bucket map, bias, exp); budget them to ~8 MB so the
@@ -255,20 +270,20 @@ def _forward_impl(
 
 
 def _bwd_dq_kernel(
-    q_ref,  # [1, 1, BQ, d]
-    k_ref,  # [1, 1, L, d]
-    v_ref,  # [1, 1, L, d]
-    do_ref,  # [1, 1, BQ, d]
-    mask_ref,  # [1, 1, L] int32
-    rel_ref,  # [H, 1, nb] fp32 in SMEM
-    delta_ref,  # [1, 1, 1, BQ] fp32 — rowsum(dO*O), precomputed in XLA
-    dq_ref,  # [1, 1, BQ, d]
-    lse_ref,  # [1, 1, 1, BQ] fp32
-    db_ref,  # [H, 1, nb] fp32 in SMEM — revisited across the whole grid
+    q_ref: jax.Array,  # [1, 1, BQ, d]
+    k_ref: jax.Array,  # [1, 1, L, d]
+    v_ref: jax.Array,  # [1, 1, L, d]
+    do_ref: jax.Array,  # [1, 1, BQ, d]
+    mask_ref: jax.Array,  # [1, 1, L] int32
+    rel_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM
+    delta_ref: jax.Array,  # [1, 1, 1, BQ] fp32 — rowsum(dO*O), precomputed in XLA
+    dq_ref: jax.Array,  # [1, 1, BQ, d]
+    lse_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+    db_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM — revisited across the whole grid
     *,
     num_buckets: int,
     max_distance: int,
-):
+) -> None:
     block_q = q_ref.shape[2]
     kv_len = k_ref.shape[2]
     h, bi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -326,20 +341,20 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    k_ref,  # [1, 1, BK, d]
-    v_ref,  # [1, 1, BK, d]
-    q_ref,  # [1, 1, L, d]
-    do_ref,  # [1, 1, L, d]
-    mask_ref,  # [1, 1, BK] int32 — kv-side mask for this block's rows
-    rel_ref,  # [H, 1, nb] fp32 in SMEM
-    lse_ref,  # [1, 1, 1, L] fp32
-    delta_ref,  # [1, 1, 1, L] fp32
-    dk_ref,  # [1, 1, BK, d]
-    dv_ref,  # [1, 1, BK, d]
+    k_ref: jax.Array,  # [1, 1, BK, d]
+    v_ref: jax.Array,  # [1, 1, BK, d]
+    q_ref: jax.Array,  # [1, 1, L, d]
+    do_ref: jax.Array,  # [1, 1, L, d]
+    mask_ref: jax.Array,  # [1, 1, BK] int32 — kv-side mask for this block's rows
+    rel_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM
+    lse_ref: jax.Array,  # [1, 1, 1, L] fp32
+    delta_ref: jax.Array,  # [1, 1, 1, L] fp32
+    dk_ref: jax.Array,  # [1, 1, BK, d]
+    dv_ref: jax.Array,  # [1, 1, BK, d]
     *,
     num_buckets: int,
     max_distance: int,
-):
+) -> None:
     block_kv = k_ref.shape[2]
     q_len = q_ref.shape[2]
     h, ki = pl.program_id(0), pl.program_id(2)
@@ -378,8 +393,18 @@ def _bwd_dkv_kernel(
 
 
 def _backward_impl(
-    q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance, interpret
-):
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    rel_bias: jax.Array,
+    out: jax.Array,
+    g: jax.Array,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Backward pass in the head-grid layout.
 
     The forward's flat [B, L, H*d] layout with an in-kernel head loop
@@ -494,16 +519,34 @@ def _backward_impl(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash_attention(
-    q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
-):
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    rel_bias: jax.Array,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    block_q: int,
+    interpret: bool,
+) -> jax.Array:
     return _forward_impl(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
     )
 
 
 def _flash_fwd(
-    q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
-):
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    rel_bias: jax.Array,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    block_q: int,
+    interpret: bool,
+) -> tuple[jax.Array, tuple[jax.Array, ...]]:
     out = _forward_impl(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
     )
@@ -511,7 +554,15 @@ def _flash_fwd(
     return out, (q, k, v, mask, rel_bias, out)
 
 
-def _flash_bwd(num_heads, num_buckets, max_distance, block_q, interpret, res, g):
+def _flash_bwd(
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    block_q: int,
+    interpret: bool,
+    res: tuple[jax.Array, ...],
+    g: jax.Array,
+) -> tuple[jax.Array, ...]:
     q, k, v, mask, rel_bias, out = res
     dq, dk, dv, d_rel = _backward_impl(
         q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance,

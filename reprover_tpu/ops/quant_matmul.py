@@ -20,7 +20,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, q_ref, scale_ref, out_ref, *, out_dtype):
+def _kernel(
+    x_ref: jnp.ndarray,
+    q_ref: jnp.ndarray,
+    scale_ref: jnp.ndarray,
+    out_ref: jnp.ndarray,
+    *,
+    out_dtype: jnp.dtype,
+) -> None:
     x = x_ref[:]  # [M, K]
     w = q_ref[:].astype(x.dtype)  # [K, BN] int8 -> compute dtype, in VMEM
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
@@ -39,7 +46,7 @@ def quant_matmul(
     x: jnp.ndarray,  # [M, K] bf16/fp32
     q: jnp.ndarray,  # [K, N] int8
     scale: jnp.ndarray,  # [N] fp32 (per output channel)
-    out_dtype=None,
+    out_dtype: jnp.dtype | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     m, k = x.shape

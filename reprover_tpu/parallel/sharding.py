@@ -96,7 +96,7 @@ def param_partition_specs(
     return out
 
 
-def causal_param_partition_specs(params: Params, model_parallel: bool = False):
+def causal_param_partition_specs(params: Params, model_parallel: bool = False) -> Any:
     """PartitionSpec pytree for :mod:`reprover_tpu.models.causal_lm` params.
 
     Megatron split over ``model``: q/k/v/gate/up column-parallel, o/down

@@ -78,7 +78,7 @@ class DistributedProver:
         max_expansions: Optional[int] = None,
         num_sampled_tactics: int = 64,
         debug: bool = False,
-        make_client=None,  # Optional: InferenceService.client per worker
+        make_client: Any = None,  # Optional: InferenceService.client per worker
     ) -> None:
         self.tac_gen = tac_gen
         self.environment = environment

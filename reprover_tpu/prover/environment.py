@@ -134,7 +134,7 @@ class Environment:
             result = session.run_tac(state, tactic)
     """
 
-    def enter(self, theorem: Theorem):  # -> context manager of (session, state)
+    def enter(self, theorem: Theorem) -> Any:  # context manager of (session, state)
         raise NotImplementedError
 
 
@@ -177,7 +177,7 @@ class _FakeEnter:
             raise EnvironmentInitError(f"no init state for {self.theorem.full_name}")
         return _FakeSession(self.env), TacticState(init)
 
-    def __exit__(self, *exc) -> None:
+    def __exit__(self, *exc: object) -> None:
         return None
 
 
@@ -273,7 +273,7 @@ class _LeanDojoEnter:
         session = _LeanDojoSession(dojo, ld.DojoTacticTimeoutError)
         return session, session.remember(init_state)
 
-    def __exit__(self, *exc) -> Any:
+    def __exit__(self, *exc: object) -> Any:
         return self._cm.__exit__(*exc)
 
 
@@ -293,13 +293,13 @@ class LeanDojoEnvironment(Environment):
 
     # Picklable across process boundaries: drop the module handle and
     # re-import on the other side.
-    def __getstate__(self):
+    def __getstate__(self) -> Dict[str, Any]:
         return {
             "timeout": self.timeout,
             "additional_imports": self.additional_imports,
         }
 
-    def __setstate__(self, state):
+    def __setstate__(self, state: Dict[str, Any]) -> None:
         import lean_dojo
 
         self._ld = lean_dojo

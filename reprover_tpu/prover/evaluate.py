@@ -24,7 +24,7 @@ import logging
 import os
 import pickle
 import uuid
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 from reprover_tpu.data import Pos
 from reprover_tpu.prover.distributed import DistributedProver
@@ -117,7 +117,7 @@ def evaluate(
     num_workers: int = 1,
     save_results: bool = False,
     debug: bool = False,
-    make_client=None,
+    make_client: Any = None,
 ) -> float:
     """End-to-end prover evaluation -> Pass@1 (`evaluate.py:94-172`)."""
     theorems, positions = get_theorems(

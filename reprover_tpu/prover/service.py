@@ -63,8 +63,8 @@ class InferenceService:
 
     def __init__(
         self,
-        generator,  # reprover_tpu.generation.TacticGeneratorModel
-        retriever=None,  # Optional[reprover_tpu.retrieval.PremiseRetriever]
+        generator: Any,  # reprover_tpu.generation.TacticGeneratorModel
+        retriever: Any = None,  # Optional[reprover_tpu.retrieval.PremiseRetriever]
         max_num_retrieved: int = 100,
         max_batch: int = 8,
         batch_window_s: float = 0.005,
@@ -223,8 +223,8 @@ class StreamingInferenceService(InferenceService):
 
     def __init__(
         self,
-        generator,
-        retriever=None,
+        generator: Any,
+        retriever: Any = None,
         max_num_retrieved: int = 100,
         num_slots: int = 8,
         num_beams: int = 64,
@@ -237,7 +237,7 @@ class StreamingInferenceService(InferenceService):
         self._engine = None  # built lazily on the serving thread
         self.stats.update({"chunks": 0, "admissions": 0, "fallbacks": 0})
 
-    def _build_engine(self):
+    def _build_engine(self) -> Any:
         import jax.numpy as jnp
 
         from reprover_tpu.generation.engine import StepwiseBeamEngine

@@ -22,7 +22,7 @@ TPU stack: the protocol is an async
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 from reprover_tpu.data import Pos, remove_marks
 
@@ -85,7 +85,7 @@ class LocalTacticGenerator(TacticGenerator):
     (`tactic_generator.py:187-192`), decided from config.json instead of a
     failed load."""
 
-    def __init__(self, model_or_path, max_inp_seq_len: int = 2048,
+    def __init__(self, model_or_path: Any, max_inp_seq_len: int = 2048,
                  max_oup_seq_len: int = 512, length_penalty: float = 0.0) -> None:
         if isinstance(model_or_path, str):
             self._path = model_or_path
@@ -144,7 +144,7 @@ class RetrievalAugmentedTacticGenerator(TacticGenerator):
     def __init__(
         self,
         gen: TacticGenerator,
-        retriever_or_path,
+        retriever_or_path: Any,
         indexed_corpus_path: Optional[str] = None,
         max_inp_seq_len: int = 2048,
         max_num_retrieved: int = 100,
@@ -202,7 +202,7 @@ class RemoteTacticGenerator(TacticGenerator):
     :mod:`reprover_tpu.prover.service`.
     """
 
-    def __init__(self, client) -> None:
+    def __init__(self, client: Any) -> None:
         self.client = client  # reprover_tpu.prover.service.ServiceClient
 
     async def generate(

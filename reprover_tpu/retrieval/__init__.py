@@ -17,7 +17,7 @@ _LAZY = {
 __all__ = list(_LAZY)
 
 
-def __getattr__(name):
+def __getattr__(name: str) -> object:
     try:
         module_name, attr = _LAZY[name]
     except KeyError:

@@ -25,7 +25,7 @@ import logging
 import os
 import pickle
 from collections import Counter
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -166,9 +166,9 @@ def process_theorem(
     thm: Dict[str, Any],
     num_retrieved: int = 100,
     use_all_premises: bool = False,
-    corpus=None,
-    tokenizer=None,
-    bm25=None,
+    corpus: Any = None,
+    tokenizer: Any = None,
+    bm25: Any = None,
 ) -> List[Dict[str, Any]]:
     """Retrieve premises for each tactic of one theorem
     (`bm25/main.py:24-70`)."""
@@ -214,7 +214,7 @@ def process_theorem(
     return preds
 
 
-def _process_one(args) -> List[Dict[str, Any]]:
+def _process_one(args: Tuple[Dict[str, Any], int, bool]) -> List[Dict[str, Any]]:
     thm, num_retrieved, use_all = args
     return process_theorem(thm, num_retrieved, use_all)
 

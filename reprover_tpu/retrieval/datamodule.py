@@ -233,7 +233,7 @@ class Loader:
 
     def __init__(
         self,
-        dataset,
+        dataset: Any,
         batch_size: int,
         shuffle: bool,
         drop_last: bool,

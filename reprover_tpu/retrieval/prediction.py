@@ -26,7 +26,10 @@ logger = logging.getLogger(__name__)
 
 
 def validation_metrics(
-    retriever, loader, num_retrieved: int = 100, reindex_batch_size: int = 64
+    retriever: Any,
+    loader: Any,
+    num_retrieved: int = 100,
+    reindex_batch_size: int = 64,
 ) -> Dict[str, float]:
     """Recall@1..num_retrieved (%) + MRR over an eval loader.
 
@@ -62,7 +65,10 @@ def validation_metrics(
 
 
 def predict(
-    retriever, loader, num_retrieved: int = 100, reindex_batch_size: int = 64
+    retriever: Any,
+    loader: Any,
+    num_retrieved: int = 100,
+    reindex_batch_size: int = 64,
 ) -> List[Dict[str, Any]]:
     """Per-tactic retrieval records (`retrieval/model.py:281-327` schema).
 

@@ -50,7 +50,7 @@ class Trainer:
     def __init__(
         self,
         config: TrainerConfig,
-        train_step,  # (state, batch) -> (state, loss); jit'd + donated
+        train_step: Callable,  # (state, batch) -> (state, loss); jit'd + donated
         writer: MetricWriter,
         validate_fn: Optional[ValidateFn] = None,
         on_train_batch_end: Optional[Callable[[], None]] = None,

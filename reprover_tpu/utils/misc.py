@@ -4,9 +4,10 @@ from __future__ import annotations
 
 import logging
 import sys
+from typing import Any
 
 
-def zip_strict(*args):
+def zip_strict(*args: Any) -> Any:
     """zip() asserting equal lengths (`common.py:428-430`)."""
     lengths = {len(a) for a in args if hasattr(a, "__len__")}
     assert len(lengths) <= 1, f"zip_strict length mismatch: {lengths}"
