@@ -45,6 +45,18 @@ def main() -> None:
     def embed(params, ids, mask):
         return masked_mean_normalize(encode(params, cfg, ids, mask), mask)
 
+    @jax.jit
+    def embed_scanned(params, ids, mask):
+        # The real indexing pipeline shape: many batches resident on device,
+        # one dispatch. Amortizes per-call host/tunnel latency that the
+        # per-batch path pays 4x per measurement.
+        def body(_, io):
+            i, m = io
+            return None, masked_mean_normalize(encode(params, cfg, i, m), m)
+
+        _, out = jax.lax.scan(body, None, (ids, mask))
+        return out
+
     def sync(x):
         # block_until_ready is a no-op through the axon tunnel; a tiny host
         # fetch is the reliable fence.
@@ -63,6 +75,19 @@ def main() -> None:
         sync(out)
         dt = time.perf_counter() - t0
         best = max(best, batch * iters / dt)
+
+    # Scanned megabatch: 8 chunks of 64 per dispatch.
+    chunks, batch = 8, 64
+    ids = jnp.asarray(
+        rng.integers(3, cfg.vocab_size, (chunks, batch, SEQ_LEN)), jnp.int32
+    )
+    mask = jnp.ones((chunks, batch, SEQ_LEN), jnp.int32)
+    sync(embed_scanned(params, ids, mask)[0])  # compile + warm
+    t0 = time.perf_counter()
+    out = embed_scanned(params, ids, mask)
+    sync(out[0])
+    dt = time.perf_counter() - t0
+    best = max(best, chunks * batch / dt)
 
     print(
         json.dumps(

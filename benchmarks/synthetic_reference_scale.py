@@ -23,6 +23,7 @@ are otherwise the reference's.
 Run (one v5e, ~1h):  PYTHONPATH=. python benchmarks/synthetic_reference_scale.py
 """
 
+import argparse
 import dataclasses
 import json
 import os
@@ -36,13 +37,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-ROOT = "/tmp/synth_ref_scale"
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--retr-steps", type=int, default=4000)
+_ap.add_argument("--gen-steps", type=int, default=4000)
+_ap.add_argument("--eval-every", type=int, default=1000)
+_ap.add_argument("--retriever-only", action="store_true",
+                 help="stop after the retriever R@k/MRR curve")
+_ap.add_argument("--lr", type=float, default=3e-4)
+_ap.add_argument("--root", default="/tmp/synth_ref_scale")
+_ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
+
+ROOT = _ARGS.root
 DATA = f"{ROOT}/data/random"
 CORPUS = f"{ROOT}/data/corpus.jsonl"
 SEQ = 1024
-RETR_STEPS = 4000
-GEN_STEPS = 4000
-EVAL_EVERY = 1000
+RETR_STEPS = _ARGS.retr_steps
+GEN_STEPS = _ARGS.gen_steps
+EVAL_EVERY = _ARGS.eval_every
 NUM_RETRIEVED = 100
 
 
@@ -128,7 +139,7 @@ def main():
             eval_s=round(time.time() - t0, 1))
 
     eval_retr(0)
-    tx = make_optimizer(3e-4, 200)
+    tx = make_optimizer(_ARGS.lr, 200)
     state = init_train_state(params, tx)
     step = make_train_step(retrieval_loss, cfg, tx)
     n = 0
@@ -147,6 +158,10 @@ def main():
             if n >= RETR_STEPS:
                 done = True
                 break
+
+    if _ARGS.retriever_only:
+        log(stage="done", note="retriever-only run")
+        return
 
     # ---------------- predictions for the generator ----------------
     retriever.params = state.params

@@ -18,7 +18,7 @@ import dataclasses
 import logging
 import os
 import sys
-from typing import Optional
+from typing import Any, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -51,6 +51,10 @@ class ModelConfig:
     # DeepSpeedCPUAdam role, `common.py:387-393`): frees ~2x params of HBM
     # for bigger batches on 16GB chips.
     offload_optimizer: bool = False
+    # Training objective: "mse" = the reference's in-batch-negative MSE
+    # (`retrieval/model.py:116-140`, parity default); "infonce" =
+    # multi-positive contrastive (beyond parity; much faster from scratch).
+    loss: str = "mse"
 
 
 @dataclasses.dataclass
@@ -82,7 +86,7 @@ class RetrievalConfig:
 LINKS = [("data.max_seq_len", "model.max_seq_len")]
 
 
-def _build(cfg: RetrievalConfig):
+def _build(cfg: RetrievalConfig) -> Tuple[Any, ...]:
     from reprover_tpu.models import init_params, load_hf_t5
     from reprover_tpu.models.t5 import byt5_small
     from reprover_tpu.parallel import make_mesh
@@ -159,6 +163,7 @@ def run_fit(cfg: RetrievalConfig) -> None:
         init_train_state,
         make_optimizer,
         make_train_step,
+        retrieval_infonce_loss,
         retrieval_loss,
     )
     from reprover_tpu.utils import make_writer
@@ -171,8 +176,10 @@ def run_fit(cfg: RetrievalConfig) -> None:
         from reprover_tpu.training import offload_opt_state
 
         state = offload_opt_state(state, mesh)
+    assert cfg.model.loss in ("mse", "infonce"), cfg.model.loss
+    loss_fn = retrieval_loss if cfg.model.loss == "mse" else retrieval_infonce_loss
     step_fn = make_train_step(
-        retrieval_loss,
+        loss_fn,
         model_cfg,
         tx,
         mesh=mesh,
@@ -199,7 +206,7 @@ def run_fit(cfg: RetrievalConfig) -> None:
     writer.close()
 
 
-def _restore_params(cfg: RetrievalConfig, retriever) -> None:
+def _restore_params(cfg: RetrievalConfig, retriever: Any) -> None:
     if cfg.ckpt_dir:
         from reprover_tpu.training import init_train_state, make_optimizer
         from reprover_tpu.utils import CheckpointManager
@@ -239,7 +246,7 @@ def run_predict(cfg: RetrievalConfig) -> None:
     save_predictions(outputs, out)
 
 
-def main(argv=None) -> None:
+def main(argv: Optional[List[str]] = None) -> None:
     logging.basicConfig(level=logging.INFO)
     subcommand, cfg = parse_config(
         RetrievalConfig, argv if argv is not None else sys.argv[1:], links=LINKS

@@ -19,7 +19,7 @@ corpus embeddings stale; queries lazily re-index.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,7 @@ class PremiseRetriever:
         cfg: T5Config,
         max_seq_len: int,
         num_retrieved: int = 100,
-        mesh=None,
+        mesh: Optional[jax.sharding.Mesh] = None,
         bucket_multiple: int = 128,
         approximate: bool = False,
     ) -> None:
@@ -78,8 +78,8 @@ class PremiseRetriever:
         ckpt_dir: str,
         max_seq_len: int,
         num_retrieved: int = 100,
-        mesh=None,
-        compute_dtype=None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        compute_dtype: Any = None,
         approximate: bool = False,
     ) -> "PremiseRetriever":
         """Load an HF retriever checkpoint (encoder-only or full T5).
@@ -174,7 +174,19 @@ class PremiseRetriever:
         )
         self.embeddings_staled = False
 
-    def _embed_texts(self, texts: List[str], batch_size: int) -> np.ndarray:
+    def _embed_texts(
+        self, texts: List[str], batch_size: int, pipeline_depth: int = 16
+    ) -> np.ndarray:
+        """Length-sorted bucketed embedding with a dispatch pipeline.
+
+        JAX dispatch is asynchronous: keeping up to ``pipeline_depth``
+        batches in flight overlaps host tokenization + H2D transfers +
+        per-call dispatch latency with device compute, instead of paying a
+        full round trip per batch (the reference's loop is strictly
+        synchronous, `retrieval/model.py:197-208`; at 129k premises / batch
+        64 that is ~2000 round trips). Results are fetched in FIFO order so
+        at most ``pipeline_depth`` [B, D] outputs are pending at once.
+        """
         n = len(texts)
         order = np.argsort([len(t.encode("utf-8")) for t in texts], kind="stable")
         out = np.zeros((n, self.embedding_size), dtype=np.float32)
@@ -182,6 +194,12 @@ class PremiseRetriever:
         data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
         step = max(batch_size, data_axis)
         step -= step % data_axis  # batch divisible by the data axis
+
+        in_flight: List[Tuple[np.ndarray, jnp.ndarray]] = []
+
+        def drain_one() -> None:
+            idxs, emb = in_flight.pop(0)
+            out[idxs] = np.asarray(emb)[: len(idxs)]
 
         for lo in range(0, n, step):
             idxs = order[lo : lo + step]
@@ -201,8 +219,11 @@ class PremiseRetriever:
                 sh = batch_sharding(self.mesh)
                 ids = jax.device_put(ids, sh)
                 mask = jax.device_put(mask, sh)
-            emb = np.asarray(self._encode_jit(self.params, ids, mask))
-            out[idxs] = emb[: len(idxs)]
+            in_flight.append((idxs, self._encode_jit(self.params, ids, mask)))
+            if len(in_flight) >= pipeline_depth:
+                drain_one()
+        while in_flight:
+            drain_one()
         return out
 
     # -------------------------------------------------------------- #

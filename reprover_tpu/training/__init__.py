@@ -12,6 +12,7 @@ from reprover_tpu.training.tasks import (
     make_train_step,
     numeric_batch,
     offload_opt_state,
+    retrieval_infonce_loss,
     retrieval_loss,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "make_train_step",
     "numeric_batch",
     "offload_opt_state",
+    "retrieval_infonce_loss",
     "retrieval_loss",
 ]

@@ -45,11 +45,11 @@ class TrainState:
     params: Params
     opt_state: Any
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> tuple:
         return (self.step, self.params, self.opt_state), None
 
     @classmethod
-    def tree_unflatten(cls, aux, children):
+    def tree_unflatten(cls, aux: None, children: tuple) -> "TrainState":
         return cls(*children)
 
 
@@ -101,6 +101,52 @@ def retrieval_loss(
     return jnp.mean(jnp.square(similarity - batch["label"]))
 
 
+def retrieval_infonce_loss(
+    params: Params,
+    cfg: T5Config,
+    batch: Dict[str, jnp.ndarray],
+    temperature: float = 0.05,
+) -> jnp.ndarray:
+    """Multi-positive InfoNCE over the in-batch similarity matrix.
+
+    Beyond-parity alternative to :func:`retrieval_loss` (opt in with
+    ``--model.loss infonce``): -log(sum_pos exp(s/t) / sum_all exp(s/t))
+    per context, the standard dense-retrieval contrastive objective
+    (Tevatron/DPR family — PAPERS.md). Converges far faster than the
+    reference's MSE objective when training from scratch; the reference's
+    own recipe (`retrieval/model.py:116-140`) remains the default.
+    """
+    ctx_ids, ctx_mask = batch["context_ids"], batch["context_mask"]
+    prem_ids, prem_mask = batch["premise_ids"], batch["premise_mask"]
+
+    if ctx_ids.shape[1] == prem_ids.shape[1]:
+        ids = jnp.concatenate([ctx_ids, prem_ids], axis=0)
+        mask = jnp.concatenate([ctx_mask, prem_mask], axis=0)
+        emb = masked_mean_normalize(encode(params, cfg, ids, mask), mask)
+        ctx_emb, prem_emb = emb[: ctx_ids.shape[0]], emb[ctx_ids.shape[0] :]
+    else:
+        ctx_emb = masked_mean_normalize(
+            encode(params, cfg, ctx_ids, ctx_mask), ctx_mask
+        )
+        prem_emb = masked_mean_normalize(
+            encode(params, cfg, prem_ids, prem_mask), prem_mask
+        )
+
+    logits = (
+        jnp.dot(ctx_emb, prem_emb.T, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    labels = batch["label"]
+    log_z = jax.nn.logsumexp(logits, axis=1)  # [B]
+    # log-sum-exp restricted to the positive columns; rows with no positive
+    # (possible after premise dedup/packing) contribute 0.
+    has_pos = jnp.sum(labels, axis=1) > 0
+    pos_logits = jnp.where(labels > 0, logits, -jnp.inf)
+    log_pos = jax.nn.logsumexp(pos_logits, axis=1)
+    nll = jnp.where(has_pos, log_z - log_pos, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(has_pos), 1)
+
+
 def generation_loss(
     params: Params,
     cfg: T5Config,
@@ -120,7 +166,7 @@ def generation_loss(
 LossFn = Callable[[Params, T5Config, Dict[str, jnp.ndarray]], jnp.ndarray]
 
 
-def opt_state_host_sharding(mesh: Optional[Mesh] = None):
+def opt_state_host_sharding(mesh: Optional[Mesh] = None) -> Any:
     """Sharding that places a pytree in TPU host memory (``pinned_host``).
 
     The reference's DeepSpeedCPUAdam role (`/root/reference/common.py:387-393`):

@@ -110,6 +110,49 @@ class TestTrainSteps:
         expected = np.mean((sim - np.asarray(batch["label"])) ** 2)
         assert float(loss) == pytest.approx(float(expected), rel=1e-5)
 
+    def test_infonce_loss_decreases_and_formula(self):
+        """Opt-in contrastive objective: correct multi-positive NLL, trains."""
+        from reprover_tpu.training import retrieval_infonce_loss
+
+        rng = np.random.default_rng(7)
+        params = init_params(jax.random.PRNGKey(7), TINY)
+        params.pop("decoder", None)
+        params.pop("lm_head", None)
+        batch = _retrieval_batch(rng, b=4, n=1)
+        # multi-positive row: context 0 also matches premise 5
+        batch["label"] = batch["label"].at[0, 5].set(1.0)
+
+        loss = retrieval_infonce_loss(params, TINY, batch)
+        from reprover_tpu.models.t5 import encode
+        from reprover_tpu.ops import masked_mean_normalize
+
+        ctx = masked_mean_normalize(
+            encode(params, TINY, batch["context_ids"], batch["context_mask"]),
+            batch["context_mask"],
+        )
+        prem = masked_mean_normalize(
+            encode(params, TINY, batch["premise_ids"], batch["premise_mask"]),
+            batch["premise_mask"],
+        )
+        logits = (np.asarray(ctx, np.float64) @ np.asarray(prem, np.float64).T) / 0.05
+        lab = np.asarray(batch["label"])
+        nll = []
+        for i in range(4):
+            z = np.log(np.exp(logits[i]).sum())
+            pos = np.log(np.exp(logits[i][lab[i] > 0]).sum())
+            nll.append(z - pos)
+        assert float(loss) == pytest.approx(float(np.mean(nll)), rel=1e-4)
+
+        tx = make_optimizer(1e-3, warmup_steps=2)
+        state = init_train_state(params, tx)
+        step = make_train_step(retrieval_infonce_loss, TINY, tx)
+        losses = []
+        for _ in range(5):
+            state, l = step(state, batch)
+            losses.append(float(l))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
     def test_mixed_length_batch(self):
         """Context and premise buckets of different lengths: two encoder
         passes, still correct."""
