@@ -44,6 +44,7 @@ _ap.add_argument("--eval-every", type=int, default=1000)
 _ap.add_argument("--retriever-only", action="store_true",
                  help="stop after the retriever R@k/MRR curve")
 _ap.add_argument("--lr", type=float, default=3e-4)
+_ap.add_argument("--loss", choices=["mse", "infonce"], default="mse")
 _ap.add_argument("--root", default="/tmp/synth_ref_scale")
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
@@ -101,6 +102,7 @@ def main():
         make_optimizer,
         make_train_step,
         numeric_batch,
+        retrieval_infonce_loss,
         retrieval_loss,
     )
 
@@ -141,7 +143,8 @@ def main():
     eval_retr(0)
     tx = make_optimizer(_ARGS.lr, 200)
     state = init_train_state(params, tx)
-    step = make_train_step(retrieval_loss, cfg, tx)
+    loss_fn = retrieval_loss if _ARGS.loss == "mse" else retrieval_infonce_loss
+    step = make_train_step(loss_fn, cfg, tx)
     n = 0
     t0 = time.time()
     done = False

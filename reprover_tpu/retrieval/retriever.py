@@ -144,17 +144,21 @@ class PremiseRetriever:
 
     def encode_strings(self, texts: Sequence[str]) -> np.ndarray:
         """Embed a batch of strings -> unit-norm fp32 [B, D] (host array)."""
+        return np.asarray(self._encode_strings_device(texts))
+
+    def _encode_strings_device(self, texts: Sequence[str]) -> jnp.ndarray:
+        """Embed without a host fetch (query path: feeds straight into the
+        device top-k, avoiding a D2H+H2D round trip per batch)."""
         batch = self.tokenizer(
             texts,
             max_length=self.max_seq_len,
             bucket_multiple=self.bucket_multiple,
         )
-        emb = self._encode_jit(
+        return self._encode_jit(
             self.params,
             jnp.asarray(batch.input_ids),
             jnp.asarray(batch.attention_mask),
         )
-        return np.asarray(emb)
 
     def reindex_corpus(self, batch_size: int) -> None:
         """Re-embed every corpus premise (no-op unless stale).
@@ -254,10 +258,10 @@ class PremiseRetriever:
             # Reference parity: requesting more than exist is the same error
             # as requesting more than are accessible (`common.py:323-324`).
             raise ValueError(f"fewer than k={k} accessible premises for a query")
-        ctx_emb = self.encode_strings([c.serialize() for c in contexts])
+        ctx_emb = self._encode_strings_device([c.serialize() for c in contexts])
         mask = self.corpus.accessible_mask_batch(contexts)  # [B, N] bool host
         values, indices = cosine_topk(
-            jnp.asarray(ctx_emb),
+            ctx_emb,
             self.corpus_embeddings,
             jnp.asarray(mask),
             k,
