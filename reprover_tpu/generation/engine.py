@@ -371,7 +371,10 @@ class StepwiseBeamEngine:
 
         lp = length_penalty
 
-        @jax.jit
+        # Donate the engine state: at serving shapes the KV caches are
+        # hundreds of MB, and without donation every chunk/admit call
+        # double-buffers them in HBM.
+        @partial(jax.jit, donate_argnums=(1,))
         def chunk_fn(params, state: EngineState) -> EngineState:
             def body(s, _):
                 return engine_step(params, cfg, s, lp), None
@@ -379,7 +382,7 @@ class StepwiseBeamEngine:
             out, _ = jax.lax.scan(body, state, None, length=chunk_size)
             return out
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(1,))
         def admit_fn(
             params, state: EngineState, slot, enc_hidden, enc_mask
         ) -> EngineState:
