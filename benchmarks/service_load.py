@@ -45,7 +45,7 @@ def make_data():
 
 def run_cell(
     model, val, num_workers, max_batch, window_ms, num_theorems=24,
-    streaming=False, num_slots=8,
+    streaming=False, num_slots=8, chunk_size=8,
 ):
     from reprover_tpu.prover import (
         FixedTacticGenerator,
@@ -58,7 +58,7 @@ def run_cell(
 
     if streaming:
         service = StreamingInferenceService(
-            model, num_slots=num_slots, num_beams=64
+            model, num_slots=num_slots, num_beams=64, chunk_size=chunk_size
         )
     else:
         service = InferenceService(
@@ -88,6 +88,7 @@ def run_cell(
     log(
         mode="streaming" if streaming else "coalescing",
         slots=num_slots if streaming else None,
+        chunk=chunk_size if streaming else None,
         workers=num_workers,
         max_batch=max_batch,
         window_ms=window_ms,
@@ -129,9 +130,10 @@ def main():
         (16, 16, 15.0),
     ):
         run_cell(model, val, num_workers, max_batch, window_ms)
-    for num_workers, num_slots in ((4, 4), (8, 8), (16, 8)):
+    for num_workers, num_slots, chunk in ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 8, 16)):
         run_cell(
-            model, val, num_workers, 0, 0.0, streaming=True, num_slots=num_slots
+            model, val, num_workers, 0, 0.0, streaming=True,
+            num_slots=num_slots, chunk_size=chunk,
         )
 
 

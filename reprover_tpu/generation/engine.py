@@ -442,12 +442,26 @@ class StepwiseBeamEngine:
 
     # -- host API ------------------------------------------------------ #
 
+    def host_status(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One host fetch of (active, done, n).
+
+        The serving loop runs once per chunk; through a high-latency
+        transport (axon tunnel) each separate fetch is a full round trip,
+        so free/active/finished queries all derive from this single get.
+        """
+        active, done, n = jax.device_get(
+            (self.state.active, self.state.done, self.state.n)
+        )
+        # Writable copies: callers mark slots emitted/admitted host-side.
+        return np.array(active), np.array(done), np.array(n)
+
     def free_slots(self) -> List[int]:
-        active = np.asarray(self.state.active)
+        active, _, _ = self.host_status()
         return [i for i in range(self.num_slots) if not active[i]]
 
     def has_active(self) -> bool:
-        return bool(np.asarray(self.state.active).any())
+        active, _, _ = self.host_status()
+        return bool(active.any())
 
     def admit(self, slot: int, enc_hidden: jnp.ndarray, enc_mask: jnp.ndarray) -> None:
         """enc_hidden [1, Smax, D] (padded), enc_mask [1, Smax]."""
@@ -459,11 +473,10 @@ class StepwiseBeamEngine:
     def run_chunk(self) -> None:
         self.state = self._chunk_fn(self.params, self.state)
 
-    def finished_slots(self) -> List[int]:
-        st = self.state
-        active = np.asarray(st.active)
-        done = np.asarray(st.done)
-        n = np.asarray(st.n)
+    def finished_slots(
+        self, status: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+    ) -> List[int]:
+        active, done, n = status if status is not None else self.host_status()
         return [
             i
             for i in range(self.num_slots)

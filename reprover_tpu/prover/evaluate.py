@@ -198,6 +198,13 @@ def main() -> None:
         default=8,
         help="concurrent decode slots for --streaming",
     )
+    parser.add_argument(
+        "--chunk-size",
+        type=int,
+        default=8,
+        help="decoder steps per jit'd chunk for --streaming (admission "
+        "latency vs per-chunk host round trips)",
+    )
     args = parser.parse_args()
 
     assert args.gen_ckpt_path or args.tactic
@@ -266,6 +273,7 @@ def main() -> None:
                 retriever=retriever,
                 num_slots=args.num_slots,
                 num_beams=args.num_sampled_tactics,
+                chunk_size=args.chunk_size,
             )
         else:
             service = InferenceService(

@@ -303,8 +303,15 @@ class StreamingInferenceService(InferenceService):
         backlog: List[GenerateRequest] = []
 
         while not self._stop.is_set():
+            # ONE host fetch per loop (a fetch is a full round trip through
+            # the tunnel — free/finished/active all derive from it).
+            active, done, n = self._engine.host_status()
+            for slot in self._engine.finished_slots((active, done, n)):
+                self._emit(slot)
+                active[slot] = False
+
             # Drain without blocking while decodes are in flight.
-            block = not self._engine.has_active() and not backlog
+            block = not active.any() and not backlog
             try:
                 backlog.append(self.request_q.get(timeout=0.05 if block else 0.0))
                 while True:
@@ -313,7 +320,7 @@ class StreamingInferenceService(InferenceService):
                 pass
 
             # Admit into free slots (or fall back for mismatched widths).
-            free = self._engine.free_slots()
+            free = [s for s in range(self.num_slots) if not active[s]]
             still: List[GenerateRequest] = []
             for req in backlog:
                 try:
@@ -326,7 +333,9 @@ class StreamingInferenceService(InferenceService):
                             if self.retriever is not None
                             else req.state
                         )
-                        self._admit(req, state, free.pop(0))
+                        slot = free.pop(0)
+                        self._admit(req, state, slot)
+                        active[slot] = True
                     else:
                         still.append(req)
                 except Exception as ex:  # containment per request
@@ -335,14 +344,12 @@ class StreamingInferenceService(InferenceService):
                     )
             backlog = still
 
-            if not self._engine.has_active():
+            if not active.any():
                 continue
             t0 = time.monotonic()
             self._engine.run_chunk()
             self.stats["chunks"] += 1
             self.stats["device_time"] += time.monotonic() - t0
-            for slot in self._engine.finished_slots():
-                self._emit(slot)
 
 
 class ServiceClient:
