@@ -492,11 +492,24 @@ class StepwiseBeamEngine:
         """
         st = self.state
         K = self.num_beams
-        n = int(np.asarray(st.n[slot]))
-        done = bool(np.asarray(st.done[slot]))
-        fin_scores = np.asarray(st.fin_scores[slot])
-        fin_tokens = np.asarray(st.fin_tokens[slot])
-        fin_lens = np.asarray(st.fin_lens[slot])
+        # One host fetch for everything the finalize needs.
+        n_, done_, fin_scores, fin_tokens, fin_lens, beam_scores, tokens = (
+            jax.device_get(
+                (
+                    st.n[slot],
+                    st.done[slot],
+                    st.fin_scores[slot],
+                    st.fin_tokens[slot],
+                    st.fin_lens[slot],
+                    st.beam_scores[slot],
+                    st.tokens[slot],
+                )
+            )
+        )
+        n, done = int(n_), bool(done_)
+        fin_scores, fin_tokens, fin_lens = (
+            np.asarray(fin_scores), np.asarray(fin_tokens), np.asarray(fin_lens)
+        )
         if done:
             merged_scores, merged_tokens, merged_lens = (
                 fin_scores, fin_tokens, fin_lens
@@ -504,15 +517,13 @@ class StepwiseBeamEngine:
         else:
             run_scores = np.asarray(
                 _norm_scores(
-                    st.beam_scores[slot],
+                    jnp.asarray(beam_scores),
                     jnp.full((K,), n - 1, jnp.float32),
                     self.length_penalty,
                 )
             )
             merged_scores = np.concatenate([fin_scores, run_scores])
-            merged_tokens = np.concatenate(
-                [fin_tokens, np.asarray(st.tokens[slot])]
-            )
+            merged_tokens = np.concatenate([fin_tokens, np.asarray(tokens)])
             merged_lens = np.concatenate(
                 [fin_lens, np.full((K,), n, np.int32)]
             )
