@@ -61,6 +61,11 @@ class PremiseRetriever:
         self.corpus: Optional[Corpus] = None
         self.corpus_embeddings: Optional[jnp.ndarray] = None  # [N, D] fp32
         self.embeddings_staled = True
+        # Tokenized-corpus cache: premise text is fixed per corpus, so the
+        # (length-sorted, bucketed, padded) int arrays are reusable across
+        # every reindex — only the embeddings change with the params. Keyed
+        # by batch size; invalidated in load_corpus.
+        self._token_cache: Optional[Tuple[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]] = None
 
         def _encode_fn(params, input_ids, mask):
             hidden = t5_encode(params, self.cfg, input_ids, mask)
@@ -122,6 +127,7 @@ class PremiseRetriever:
                 source.embeddings, dtype=jnp.float32
             )
             self.embeddings_staled = False
+            self._token_cache = None  # a later mark_stale must retokenize
             return
         if isinstance(source, Corpus):
             self.corpus = source
@@ -133,6 +139,7 @@ class PremiseRetriever:
             return
         self.corpus_embeddings = None
         self.embeddings_staled = True
+        self._token_cache = None
 
     def mark_stale(self) -> None:
         """Call after any parameter update (`retrieval/model.py:170-172`)."""
@@ -172,39 +179,37 @@ class PremiseRetriever:
         if not self.embeddings_staled:
             return
         assert self.corpus is not None, "load_corpus first"
-        serialized = [p.serialize() for p in self.corpus.all_premises]
+        if self._token_cache is None or self._token_cache[0] != batch_size:
+            serialized = [p.serialize() for p in self.corpus.all_premises]
+            self._token_cache = (
+                batch_size,
+                self._tokenize_batches(serialized, batch_size),
+            )
         self.corpus_embeddings = jnp.asarray(
-            self._embed_texts(serialized, batch_size), dtype=jnp.float32
+            self._embed_tokenized(
+                self._token_cache[1], len(self.corpus.all_premises)
+            ),
+            dtype=jnp.float32,
         )
         self.embeddings_staled = False
 
-    def _embed_texts(
-        self, texts: List[str], batch_size: int, pipeline_depth: int = 16
-    ) -> np.ndarray:
-        """Length-sorted bucketed embedding with a dispatch pipeline.
+    def _tokenize_batches(
+        self, texts: List[str], batch_size: int
+    ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Length-sorted bucketed tokenization -> [(idxs, ids, mask), ...].
 
-        JAX dispatch is asynchronous: keeping up to ``pipeline_depth``
-        batches in flight overlaps host tokenization + H2D transfers +
-        per-call dispatch latency with device compute, instead of paying a
-        full round trip per batch (the reference's loop is strictly
-        synchronous, `retrieval/model.py:197-208`; at 129k premises / batch
-        64 that is ~2000 round trips). Results are fetched in FIFO order so
-        at most ``pipeline_depth`` [B, D] outputs are pending at once.
+        Sorting by serialized byte length makes each pad-to-bucket batch
+        nearly uniform, cutting padded FLOPs vs the reference's corpus-order
+        encoding (`retrieval/model.py:197-208`).
         """
         n = len(texts)
         order = np.argsort([len(t.encode("utf-8")) for t in texts], kind="stable")
-        out = np.zeros((n, self.embedding_size), dtype=np.float32)
 
         data_axis = self.mesh.shape["data"] if self.mesh is not None else 1
         step = max(batch_size, data_axis)
         step -= step % data_axis  # batch divisible by the data axis
 
-        in_flight: List[Tuple[np.ndarray, jnp.ndarray]] = []
-
-        def drain_one() -> None:
-            idxs, emb = in_flight.pop(0)
-            out[idxs] = np.asarray(emb)[: len(idxs)]
-
+        batches = []
         for lo in range(0, n, step):
             idxs = order[lo : lo + step]
             chunk = [texts[i] for i in idxs]
@@ -216,9 +221,33 @@ class PremiseRetriever:
                 max_length=self.max_seq_len,
                 bucket_multiple=self.bucket_multiple,
             )
-            ids, mask = jnp.asarray(batch.input_ids), jnp.asarray(
-                batch.attention_mask
-            )
+            batches.append((idxs, batch.input_ids, batch.attention_mask))
+        return batches
+
+    def _embed_tokenized(
+        self,
+        batches: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+        n: int,
+        pipeline_depth: int = 16,
+    ) -> np.ndarray:
+        """Embed pre-tokenized batches with a dispatch pipeline.
+
+        JAX dispatch is asynchronous: keeping up to ``pipeline_depth``
+        batches in flight overlaps H2D transfers + per-call dispatch latency
+        with device compute, instead of paying a full round trip per batch
+        (the reference's loop is strictly synchronous; at 129k premises /
+        batch 64 that is ~2000 round trips). Results are fetched in FIFO
+        order so at most ``pipeline_depth`` [B, D] outputs are pending.
+        """
+        out = np.zeros((n, self.embedding_size), dtype=np.float32)
+        in_flight: List[Tuple[np.ndarray, jnp.ndarray]] = []
+
+        def drain_one() -> None:
+            idxs, emb = in_flight.pop(0)
+            out[idxs] = np.asarray(emb)[: len(idxs)]
+
+        for idxs, ids_np, mask_np in batches:
+            ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
             if self.mesh is not None:
                 sh = batch_sharding(self.mesh)
                 ids = jax.device_put(ids, sh)
@@ -229,6 +258,16 @@ class PremiseRetriever:
         while in_flight:
             drain_one()
         return out
+
+    def _embed_texts(
+        self, texts: List[str], batch_size: int, pipeline_depth: int = 16
+    ) -> np.ndarray:
+        """Tokenize + embed (uncached path, e.g. the indexer CLI)."""
+        return self._embed_tokenized(
+            self._tokenize_batches(texts, batch_size),
+            len(texts),
+            pipeline_depth,
+        )
 
     # -------------------------------------------------------------- #
     # Query
