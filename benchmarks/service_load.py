@@ -23,6 +23,46 @@ ROOT = "/tmp/service_load"
 DATA = f"{ROOT}/data/random"
 
 
+# ------------------------------------------------------------------ #
+# Always-progress environment: every tactic yields a fresh open state, so
+# each search performs exactly max_expansions service requests. A replay
+# environment dies after 1 expansion under a random-weight model (no
+# generated tactic matches ground truth), which would measure process
+# startup, not serving throughput.
+# ------------------------------------------------------------------ #
+from reprover_tpu.prover.environment import (  # noqa: E402
+    Environment,
+    Session,
+    TacticState,
+)
+
+
+class _LoadSession(Session):
+    def run_tac(self, state, tactic):
+        # Unique successor per (state, tactic): no dedup, tree keeps growing.
+        return TacticState(
+            f"{state.pp[:128]}|{hash((state.pp, tactic)) & 0xFFFF:x}"
+        )
+
+
+class _LoadEnter:
+    def __init__(self, theorem):
+        self.theorem = theorem
+
+    def __enter__(self):
+        return _LoadSession(), TacticState(f"⊢ load {self.theorem.full_name}")
+
+    def __exit__(self, *exc):
+        return None
+
+
+class LoadEnvironment(Environment):
+    """Picklable; accepts any theorem."""
+
+    def enter(self, theorem):
+        return _LoadEnter(theorem)
+
+
 def log(**kw):
     print(json.dumps(kw), flush=True)
 
@@ -51,7 +91,6 @@ def run_cell(
         FixedTacticGenerator,
         InferenceService,
         StreamingInferenceService,
-        environment_from_dataset,
     )
     from reprover_tpu.prover.distributed import DistributedProver
     from reprover_tpu.prover.evaluate import get_theorems
@@ -66,7 +105,7 @@ def run_cell(
         )
     service.start()
     try:
-        env = environment_from_dataset(val)
+        env = LoadEnvironment()
         theorems, positions = get_theorems(DATA, split="val")
         theorems, positions = theorems[:num_theorems], positions[:num_theorems]
         prover = DistributedProver(

@@ -94,8 +94,15 @@ class DistributedProver:
     def _search_local(
         self, theorems: List[Theorem], positions: List[Pos]
     ) -> List[Optional[SearchResult]]:
+        gen = self.tac_gen
+        if self.make_client is not None:
+            # A shared InferenceService is authoritative even in-process:
+            # single-worker runs must exercise the same serving path.
+            from reprover_tpu.prover.tactic_generator import RemoteTacticGenerator
+
+            gen = RemoteTacticGenerator(self.make_client())
         prover = BestFirstSearchProver(
-            self.tac_gen,
+            gen,
             self.environment,
             self.timeout,
             self.max_expansions,
