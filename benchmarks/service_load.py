@@ -161,15 +161,20 @@ def main():
     with open(f"{DATA}/val.json") as f:
         val = json.load(f)
 
-    for num_workers, max_batch, window_ms in (
-        (1, 8, 5.0),
-        (4, 8, 5.0),
-        (8, 8, 5.0),
-        (8, 16, 15.0),
-        (16, 16, 15.0),
-    ):
+    quick = "--quick" in sys.argv
+    coalescing_cells = (
+        ((8, 16, 15.0), (16, 16, 15.0))
+        if quick
+        else ((1, 8, 5.0), (4, 8, 5.0), (8, 8, 5.0), (8, 16, 15.0), (16, 16, 15.0))
+    )
+    streaming_cells = (
+        ((16, 8, 8),)
+        if quick
+        else ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 8, 16))
+    )
+    for num_workers, max_batch, window_ms in coalescing_cells:
         run_cell(model, val, num_workers, max_batch, window_ms)
-    for num_workers, num_slots, chunk in ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 8, 16)):
+    for num_workers, num_slots, chunk in streaming_cells:
         run_cell(
             model, val, num_workers, 0, 0.0, streaming=True,
             num_slots=num_slots, chunk_size=chunk,
