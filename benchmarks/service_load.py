@@ -163,12 +163,14 @@ def main():
 
     quick = "--quick" in sys.argv
     coalescing_cells = (
-        ((8, 16, 15.0), (16, 16, 15.0))
+        # Two passes: pass 1 pays the jit compiles (minutes through the
+        # tunnel), pass 2 is the steady-state number to report.
+        ((8, 16, 15.0), (16, 16, 15.0)) * 2
         if quick
         else ((1, 8, 5.0), (4, 8, 5.0), (8, 8, 5.0), (8, 16, 15.0), (16, 16, 15.0))
     )
     streaming_cells = (
-        ((16, 8, 8),)
+        ((16, 8, 8),) * 2
         if quick
         else ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 8, 16))
     )

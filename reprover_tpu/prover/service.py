@@ -243,7 +243,16 @@ class StreamingInferenceService(InferenceService):
         # stay frozen through the extra chunks — wasted but correct.
         self.chunk_burst = max(1, chunk_burst)
         self._engine = None  # built lazily on the serving thread
-        self.stats.update({"chunks": 0, "admissions": 0, "fallbacks": 0})
+        self.stats.update(
+            {
+                "chunks": 0,
+                "admissions": 0,
+                "fallbacks": 0,
+                "status_time": 0.0,
+                "admit_time": 0.0,
+                "emit_time": 0.0,
+            }
+        )
 
     def _build_engine(self) -> Any:
         import jax.numpy as jnp
@@ -288,6 +297,33 @@ class StreamingInferenceService(InferenceService):
         self._slot_req[slot] = req
         self.stats["admissions"] += 1
 
+    def _encode_admissions(
+        self, states: List[str]
+    ) -> Tuple[List[Any], List[Any]]:
+        """Encode all arrivals as one padded batch -> per-request [1, Smax]
+        slices (one encoder dispatch instead of one per request)."""
+        jnp = self._jnp
+        gen = self.generator
+        # Power-of-2 batch bucket: one compiled encoder per (batch-bucket,
+        # src-bucket), not one per arrival count.
+        bucket = _batch_buckets(len(states), self.num_slots)
+        padded_states = states + [""] * (bucket - len(states))
+        batch = gen.tokenizer(
+            padded_states,
+            max_length=gen.max_inp_seq_len,
+            bucket_multiple=gen.bucket_multiple,
+        )
+        ids = jnp.asarray(batch.input_ids)
+        mask = jnp.asarray(batch.attention_mask)
+        enc = self._encode(ids, mask)
+        pad = self._src_max - enc.shape[1]
+        if pad:
+            enc = jnp.pad(enc, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        encs = [enc[i : i + 1] for i in range(len(states))]
+        masks = [mask[i : i + 1] for i in range(len(states))]
+        return encs, masks
+
     def _emit(self, slot: int) -> None:
         import numpy as np  # noqa: F401  (tokenizer decode takes numpy rows)
 
@@ -313,10 +349,14 @@ class StreamingInferenceService(InferenceService):
         while not self._stop.is_set():
             # ONE host fetch per loop (a fetch is a full round trip through
             # the tunnel — free/finished/active all derive from it).
+            t0 = time.monotonic()
             active, done, n = self._engine.host_status()
+            self.stats["status_time"] += time.monotonic() - t0
+            t0 = time.monotonic()
             for slot in self._engine.finished_slots((active, done, n)):
                 self._emit(slot)
                 active[slot] = False
+            self.stats["emit_time"] += time.monotonic() - t0
 
             # Drain without blocking while decodes are in flight.
             block = not active.any() and not backlog
@@ -329,6 +369,7 @@ class StreamingInferenceService(InferenceService):
 
             # Admit into free slots (or fall back for mismatched widths).
             free = [s for s in range(self.num_slots) if not active[s]]
+            admissible: List[GenerateRequest] = []
             still: List[GenerateRequest] = []
             for req in backlog:
                 try:
@@ -336,20 +377,38 @@ class StreamingInferenceService(InferenceService):
                         self.stats["fallbacks"] += 1
                         self._serve_group([req], req.num_samples)
                     elif free:
-                        state = (
-                            self._augment([req])[0]
-                            if self.retriever is not None
-                            else req.state
-                        )
-                        slot = free.pop(0)
-                        self._admit(req, state, slot)
-                        active[slot] = True
+                        admissible.append(req)
+                        free.pop(0)
                     else:
                         still.append(req)
                 except Exception as ex:  # containment per request
                     self._response_qs[req.client_id].put(
                         GenerateResponse(req.req_id, [], error=repr(ex))
                     )
+            if admissible:
+                t0 = time.monotonic()
+                free = [s for s in range(self.num_slots) if not active[s]]
+                try:
+                    states = (
+                        self._augment(admissible)
+                        if self.retriever is not None
+                        else [r.state for r in admissible]
+                    )
+                    # One batched encoder pass for every arrival this loop,
+                    # then one admit dispatch per slot.
+                    encs, masks = self._encode_admissions(states)
+                    for req, enc, mask in zip(admissible, encs, masks):
+                        slot = free.pop(0)
+                        self._engine.admit(slot, enc, mask)
+                        self._slot_req[slot] = req
+                        self.stats["admissions"] += 1
+                        active[slot] = True
+                except Exception as ex:
+                    for req in admissible:
+                        self._response_qs[req.client_id].put(
+                            GenerateResponse(req.req_id, [], error=repr(ex))
+                        )
+                self.stats["admit_time"] += time.monotonic() - t0
             backlog = still
 
             if not active.any():
