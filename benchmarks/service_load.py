@@ -162,6 +162,7 @@ def main():
         val = json.load(f)
 
     quick = "--quick" in sys.argv
+    streaming_only = "--streaming-only" in sys.argv
     coalescing_cells = (
         # Two passes: pass 1 pays the jit compiles (minutes through the
         # tunnel), pass 2 is the steady-state number to report.
@@ -174,6 +175,8 @@ def main():
         if quick
         else ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 8, 16))
     )
+    if streaming_only:
+        coalescing_cells = ()
     for num_workers, max_batch, window_ms in coalescing_cells:
         run_cell(model, val, num_workers, max_batch, window_ms)
     for num_workers, num_slots, chunk in streaming_cells:

@@ -370,17 +370,40 @@ class StepwiseBeamEngine:
         )
 
         lp = length_penalty
+        T = max_decode_len
+
+        def _finished(s: EngineState) -> jnp.ndarray:
+            return s.active & (s.done | (s.n >= T))
 
         # Donate the engine state: at serving shapes the KV caches are
         # hundreds of MB, and without donation every chunk/admit call
         # double-buffers them in HBM.
+        #
+        # Run-until-event: advance every working slot until a slot *newly*
+        # finishes (relative to entry — already-finished slots are frozen by
+        # ``engine_step`` and must not stall the others while the host gets
+        # around to emitting them) or ``max_steps`` elapse. Through a
+        # high-latency transport one dispatch+status round trip per *event*
+        # replaces one per chunk. ``max_steps`` is a traced scalar — one
+        # compiled program serves every horizon.
         @partial(jax.jit, donate_argnums=(1,))
-        def chunk_fn(params, state: EngineState) -> EngineState:
-            def body(s, _):
-                return engine_step(params, cfg, s, lp), None
+        def chunk_fn(
+            params, state: EngineState, max_steps: jnp.ndarray
+        ) -> Tuple[EngineState, Tuple[jnp.ndarray, ...]]:
+            fin0 = _finished(state)
 
-            out, _ = jax.lax.scan(body, state, None, length=chunk_size)
-            return out
+            def cond(carry):
+                s, i = carry
+                fin = _finished(s)
+                working = s.active & ~fin
+                return (i < max_steps) & working.any() & ~(fin & ~fin0).any()
+
+            def body(carry):
+                s, i = carry
+                return engine_step(params, cfg, s, lp), i + 1
+
+            out, steps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+            return out, (out.active, out.done, out.n, steps)
 
         @partial(jax.jit, donate_argnums=(1,))
         def admit_fn(
@@ -442,6 +465,20 @@ class StepwiseBeamEngine:
 
     # -- host API ------------------------------------------------------ #
 
+    def dispatch_run(
+        self, max_steps: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Dispatch one run-until-event program (async) and return the
+        device status arrays ``(active, done, n, steps)`` with host copies
+        already in flight — the serving loop retires them a dispatch later,
+        overlapping the round trip with the next program's compute."""
+        self.state, status = self._chunk_fn(
+            self.params, self.state, jnp.int32(max_steps)
+        )
+        for a in status:
+            a.copy_to_host_async()
+        return status
+
     def host_status(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One host fetch of (active, done, n).
 
@@ -471,7 +508,7 @@ class StepwiseBeamEngine:
         )
 
     def run_chunk(self) -> None:
-        self.state = self._chunk_fn(self.params, self.state)
+        self.dispatch_run(self.chunk_size)
 
     def finished_slots(
         self, status: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
@@ -483,6 +520,25 @@ class StepwiseBeamEngine:
             if active[i] and (done[i] or n[i] >= self.max_decode_len)
         ]
 
+    def prefetch_finalize(self, slot: int) -> Tuple[jnp.ndarray, ...]:
+        """Start async host copies of everything ``finalize_prefetched``
+        needs for ``slot``; returns the handle. The serving loop calls this
+        the moment a status shows the slot finished, so the copies ride
+        along with the next dispatch's compute instead of blocking."""
+        st = self.state
+        arrs = (
+            st.n[slot],
+            st.done[slot],
+            st.fin_scores[slot],
+            st.fin_tokens[slot],
+            st.fin_lens[slot],
+            st.beam_scores[slot],
+            st.tokens[slot],
+        )
+        for a in arrs:
+            a.copy_to_host_async()
+        return arrs
+
     def finalize(self, slot: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Extract (sequences [K,T], scores [K], lengths [K]) and free the slot.
 
@@ -490,26 +546,18 @@ class StepwiseBeamEngine:
         that hit max length merge their running beams as hypotheses with
         generated_len = n - 1 and no EOS.
         """
-        st = self.state
+        return self.finalize_prefetched(slot, self.prefetch_finalize(slot))
+
+    def finalize_prefetched(
+        self, slot: int, handle: Tuple[jnp.ndarray, ...]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Complete a ``prefetch_finalize`` handle: host-side hypothesis
+        merge (HF semantics) + free the slot on device."""
         K = self.num_beams
-        # One host fetch for everything the finalize needs.
         n_, done_, fin_scores, fin_tokens, fin_lens, beam_scores, tokens = (
-            jax.device_get(
-                (
-                    st.n[slot],
-                    st.done[slot],
-                    st.fin_scores[slot],
-                    st.fin_tokens[slot],
-                    st.fin_lens[slot],
-                    st.beam_scores[slot],
-                    st.tokens[slot],
-                )
-            )
+            np.asarray(a) for a in handle
         )
         n, done = int(n_), bool(done_)
-        fin_scores, fin_tokens, fin_lens = (
-            np.asarray(fin_scores), np.asarray(fin_tokens), np.asarray(fin_lens)
-        )
         if done:
             merged_scores, merged_tokens, merged_lens = (
                 fin_scores, fin_tokens, fin_lens

@@ -230,22 +230,26 @@ class StreamingInferenceService(InferenceService):
         num_beams: int = 64,
         chunk_size: int = 8,
         chunk_burst: int = 4,
+        pipeline_depth: int = 2,
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.chunk_size = chunk_size
-        # With an empty backlog, dispatch up to this many chunks per status
-        # fetch: JAX dispatch is async, so the chunks queue on device with
-        # ONE host sync at the next fetch. Through a high-latency transport
-        # the per-loop round trips otherwise dominate (measured ~0.8 s/loop
-        # vs ~30 ms of chunk compute via the axon tunnel). Finished slots
-        # stay frozen through the extra chunks — wasted but correct.
+        # Step horizon per dispatch when no backlog is waiting:
+        # chunk_size * chunk_burst decoder steps (the device stops early the
+        # moment a slot newly finishes). With a backlog the horizon drops to
+        # chunk_size so arrivals wait at most that many steps for a slot.
         self.chunk_burst = max(1, chunk_burst)
+        # Device programs in flight ahead of the status being retired: the
+        # status round trip (a full tunnel RTT) overlaps the next program's
+        # compute instead of serializing with it.
+        self.pipeline_depth = max(1, pipeline_depth)
         self._engine = None  # built lazily on the serving thread
         self.stats.update(
             {
                 "chunks": 0,
+                "steps": 0,
                 "admissions": 0,
                 "fallbacks": 0,
                 "status_time": 0.0,
@@ -278,25 +282,6 @@ class StreamingInferenceService(InferenceService):
         self._encode = lambda ids, mask: t5_encode(gen.params, gen.cfg, ids, mask)
         self._jnp = jnp
 
-    def _admit(self, req: GenerateRequest, state_text: str, slot: int) -> None:
-        jnp = self._jnp
-        gen = self.generator
-        batch = gen.tokenizer(
-            [state_text],
-            max_length=gen.max_inp_seq_len,
-            bucket_multiple=gen.bucket_multiple,
-        )
-        ids = jnp.asarray(batch.input_ids)
-        mask = jnp.asarray(batch.attention_mask)
-        enc = self._encode(ids, mask)
-        pad = self._src_max - enc.shape[1]
-        if pad:
-            enc = jnp.pad(enc, ((0, 0), (0, pad), (0, 0)))
-            mask = jnp.pad(mask, ((0, 0), (0, pad)))
-        self._engine.admit(slot, enc, mask)
-        self._slot_req[slot] = req
-        self.stats["admissions"] += 1
-
     def _encode_admissions(
         self, states: List[str]
     ) -> Tuple[List[Any], List[Any]]:
@@ -324,10 +309,8 @@ class StreamingInferenceService(InferenceService):
         masks = [mask[i : i + 1] for i in range(len(states))]
         return encs, masks
 
-    def _emit(self, slot: int) -> None:
-        import numpy as np  # noqa: F401  (tokenizer decode takes numpy rows)
-
-        seqs, scores, _ = self._engine.finalize(slot)
+    def _emit(self, slot: int, handle: Any) -> None:
+        seqs, scores, _ = self._engine.finalize_prefetched(slot, handle)
         req = self._slot_req.pop(slot)
         cands = [
             (
@@ -341,34 +324,49 @@ class StreamingInferenceService(InferenceService):
 
     def _serve(self) -> None:
         import queue as _q
+        from collections import deque
+
+        import numpy as np
 
         self._build_engine()
         self._slot_req: Dict[int, GenerateRequest] = {}
+        eng = self._engine
+        S = self.num_slots
+        T = eng.max_decode_len
         backlog: List[GenerateRequest] = []
+        # Host-authoritative occupancy: statuses in the pipeline are stale
+        # by construction, so free/occupied lives here and the device is
+        # only consulted for *finish* events.
+        occupied = np.zeros(S, dtype=bool)
+        barrier = [0] * S  # first dispatch seq that can see this admission
+        pending: Any = deque()  # (dispatch_seq, device status) in flight
+        fin_pending: List[Tuple[int, Any]] = []  # finalize prefetches
+        seq = 0
 
         while not self._stop.is_set():
-            # ONE host fetch per loop (a fetch is a full round trip through
-            # the tunnel — free/finished/active all derive from it).
-            t0 = time.monotonic()
-            active, done, n = self._engine.host_status()
-            self.stats["status_time"] += time.monotonic() - t0
-            t0 = time.monotonic()
-            for slot in self._engine.finished_slots((active, done, n)):
-                self._emit(slot)
-                active[slot] = False
-            self.stats["emit_time"] += time.monotonic() - t0
+            # 1. Complete finalize prefetches: respond + free the slots.
+            #    The host copies were started one loop ago and rode along
+            #    with the most recent dispatch's compute.
+            if fin_pending:
+                t0 = time.monotonic()
+                for slot, handle in fin_pending:
+                    self._emit(slot, handle)
+                    occupied[slot] = False
+                fin_pending = []
+                self.stats["emit_time"] += time.monotonic() - t0
 
-            # Drain without blocking while decodes are in flight.
-            block = not active.any() and not backlog
+            # 2. Drain arrivals (block only when fully idle).
+            idle = not occupied.any() and not backlog and not pending
             try:
-                backlog.append(self.request_q.get(timeout=0.05 if block else 0.0))
+                backlog.append(self.request_q.get(timeout=0.05 if idle else 0.0))
                 while True:
                     backlog.append(self.request_q.get_nowait())
             except _q.Empty:
                 pass
 
-            # Admit into free slots (or fall back for mismatched widths).
-            free = [s for s in range(self.num_slots) if not active[s]]
+            # 3. Route: fallbacks for mismatched widths; admit the rest
+            #    into free slots with ONE batched encoder pass.
+            free = [s for s in range(S) if not occupied[s]]
             admissible: List[GenerateRequest] = []
             still: List[GenerateRequest] = []
             for req in backlog:
@@ -385,40 +383,62 @@ class StreamingInferenceService(InferenceService):
                     self._response_qs[req.client_id].put(
                         GenerateResponse(req.req_id, [], error=repr(ex))
                     )
+            backlog = still
             if admissible:
                 t0 = time.monotonic()
-                free = [s for s in range(self.num_slots) if not active[s]]
+                free = [s for s in range(S) if not occupied[s]]
                 try:
                     states = (
                         self._augment(admissible)
                         if self.retriever is not None
                         else [r.state for r in admissible]
                     )
-                    # One batched encoder pass for every arrival this loop,
-                    # then one admit dispatch per slot.
                     encs, masks = self._encode_admissions(states)
                     for req, enc, mask in zip(admissible, encs, masks):
                         slot = free.pop(0)
-                        self._engine.admit(slot, enc, mask)
+                        eng.admit(slot, enc, mask)
                         self._slot_req[slot] = req
+                        occupied[slot] = True
+                        barrier[slot] = seq
                         self.stats["admissions"] += 1
-                        active[slot] = True
                 except Exception as ex:
                     for req in admissible:
                         self._response_qs[req.client_id].put(
                             GenerateResponse(req.req_id, [], error=repr(ex))
                         )
                 self.stats["admit_time"] += time.monotonic() - t0
-            backlog = still
 
-            if not active.any():
-                continue
+            # 4. Keep the dispatch pipeline full: run-until-event programs
+            #    whose horizon shrinks to one chunk when arrivals wait.
             t0 = time.monotonic()
-            burst = 1 if backlog else self.chunk_burst
-            for _ in range(burst):
-                self._engine.run_chunk()
-            self.stats["chunks"] += burst
+            while occupied.any() and len(pending) < self.pipeline_depth:
+                horizon = (
+                    self.chunk_size
+                    if backlog
+                    else self.chunk_size * self.chunk_burst
+                )
+                pending.append((seq, eng.dispatch_run(horizon)))
+                seq += 1
+                self.stats["chunks"] += 1
             self.stats["device_time"] += time.monotonic() - t0
+
+            # 5. Retire the oldest status — its round trip overlapped the
+            #    newer dispatches' compute. Admissions newer than the status
+            #    (barrier) can't be judged by it; they stay until a
+            #    post-admission status arrives.
+            if pending:
+                psq, status = pending.popleft()
+                t0 = time.monotonic()
+                _, done_d, n_d, steps = (np.asarray(a) for a in status)
+                self.stats["status_time"] += time.monotonic() - t0
+                self.stats["steps"] += int(steps)
+                for s in range(S):
+                    if (
+                        occupied[s]
+                        and psq >= barrier[s]
+                        and (done_d[s] or n_d[s] >= T)
+                    ):
+                        fin_pending.append((s, eng.prefetch_finalize(s)))
 
 
 class ServiceClient:

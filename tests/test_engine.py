@@ -162,3 +162,45 @@ def test_streaming_service_matches_classic(setup):
     _assert_same(r2, want2)
     snap = svc.stats_snapshot()
     assert snap["admissions"] == 2 and snap["fallbacks"] == 1
+
+
+def test_streaming_service_oversubscribed(setup):
+    """More concurrent requests than slots: the backlog, slot reuse, and
+    the stale-status admission barrier in the pipelined serve loop must
+    still produce classic-exact results for every request."""
+    import asyncio
+
+    from reprover_tpu.data import Pos
+    from reprover_tpu.prover import StreamingInferenceService
+
+    params, model, texts, classic = setup
+    svc = StreamingInferenceService(
+        model, num_slots=2, num_beams=K, chunk_size=2, pipeline_depth=3
+    )
+    svc.start()
+    try:
+        # 3 waves over each text -> 12 requests through 2 slots.
+        clients = [svc.client() for _ in range(12)]
+
+        async def one(c, text, delay):
+            await asyncio.sleep(delay)
+            return await c.agenerate(text, "a.lean", "t", Pos(1, 1), K)
+
+        async def go():
+            return await asyncio.gather(
+                *(
+                    one(clients[4 * w + i], texts[i], 0.02 * (4 * w + i))
+                    for w in range(3)
+                    for i in range(4)
+                )
+            )
+
+        results = asyncio.run(go())
+    finally:
+        svc.stop()
+
+    for w in range(3):
+        for i in range(4):
+            _assert_same(results[4 * w + i], classic[texts[i]])
+    snap = svc.stats_snapshot()
+    assert snap["admissions"] == 12 and snap["requests"] == 12
