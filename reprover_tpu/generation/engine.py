@@ -403,7 +403,18 @@ class StepwiseBeamEngine:
                 return engine_step(params, cfg, s, lp), i + 1
 
             out, steps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-            return out, (out.active, out.done, out.n, steps)
+            # ONE packed int32 status vector [3S+1]: a single host copy per
+            # dispatch instead of four (each transfer pays the transport's
+            # per-call overhead).
+            packed = jnp.concatenate(
+                [
+                    out.active.astype(jnp.int32),
+                    out.done.astype(jnp.int32),
+                    out.n,
+                    steps[None],
+                ]
+            )
+            return out, packed
 
         @partial(jax.jit, donate_argnums=(1,))
         def admit_fn(
@@ -460,24 +471,160 @@ class StepwiseBeamEngine:
             )
             return new
 
+        S_, K_ = num_slots, num_beams
+
+        # Whole-arrival-batch admission in ONE program: T5-encode the token
+        # batch, project cross K/V, and scatter every arrival into its slot
+        # via a one-hot mixing matrix. Padding rows carry slot = -1, whose
+        # one-hot row is all zeros — a natural no-op. One dispatch per
+        # arrival wave replaces (encode + 2 slices + admit) per request.
+        @partial(jax.jit, donate_argnums=(1,))
+        def admit_tokens_fn(
+            params, state: EngineState, slots, ids, mask
+        ) -> EngineState:
+            from reprover_tpu.models.t5 import encode as t5_encode
+
+            dt = cfg.compute_dtype
+            H, d = cfg.num_heads, cfg.d_kv
+            L = ids.shape[1]
+            enc = t5_encode(params, cfg, ids, mask)  # [A, L, D]
+
+            def per_layer_cross(lp_):
+                k = _split_heads(
+                    _dense(enc.astype(dt), lp_["cross_attn"]["k"], dt), H, d
+                )  # [A,H,L,d]
+                v = _split_heads(
+                    _dense(enc.astype(dt), lp_["cross_attn"]["v"], dt), H, d
+                )
+                return k, v
+
+            ck, cv = jax.vmap(per_layer_cross)(
+                params["decoder"]["layers"]
+            )  # [Ld,A,H,L,d]
+            M = jax.nn.one_hot(slots, S_, dtype=jnp.float32)  # [A,S]
+            occ = M.sum(axis=0)  # [S] 0/1 — slots receiving an arrival
+
+            def scatter_cross(old, new):  # new [Ld,A,H,L,d] -> [Ld,S,H,L,d]
+                mixed = jnp.einsum("as,lahtd->lshtd", M.astype(dt), new)
+                m = occ.reshape(1, S_, 1, 1, 1).astype(old.dtype)
+                return old * (1 - m) + mixed.astype(old.dtype) * m
+
+            bias_a = jnp.where(mask.astype(bool), 0.0, -1e10).astype(
+                jnp.float32
+            )  # [A,L]
+            bias_s = jnp.einsum("as,al->sl", M, bias_a)  # [S,L]
+            cross_bias = jnp.where(
+                occ[:, None].astype(bool),
+                bias_s,
+                state.cross_bias.reshape(S_, L),
+            ).reshape(S_, 1, 1, L)
+
+            def reset(x, value):
+                m = occ.reshape((S_,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+                return x * (1 - m) + jnp.asarray(value, x.dtype) * m
+
+            occ_b = occ.astype(bool)
+            beam0 = jnp.asarray(
+                [0.0] + [float(NEG_INF)] * (K_ - 1), jnp.float32
+            )
+            return dataclasses.replace(
+                state,
+                cross_k=scatter_cross(state.cross_k, ck),
+                cross_v=scatter_cross(state.cross_v, cv),
+                cross_bias=cross_bias,
+                n=jnp.where(occ_b, 1, state.n),
+                tokens=reset(state.tokens, cfg.pad_token_id),
+                last_token=reset(state.last_token, cfg.decoder_start_token_id),
+                beam_scores=jnp.where(
+                    occ_b[:, None], beam0[None, :], state.beam_scores
+                ),
+                fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
+                fin_scores=reset(state.fin_scores, float(NEG_INF)),
+                fin_lens=reset(state.fin_lens, 0),
+                done=jnp.where(occ_b, False, state.done),
+                active=state.active | occ_b,
+            )
+
+        # Finalize gather + slot release in ONE program: three packed
+        # outputs (int vector, token matrix, score vector) start their host
+        # copies at dispatch; the slot is freed on device immediately so
+        # in-flight run programs neither step it nor re-report its event.
+        @partial(jax.jit, donate_argnums=(0,))
+        def finalize_fn(
+            state: EngineState, slot
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, EngineState]:
+            ints = jnp.concatenate(
+                [
+                    state.n[slot][None],
+                    state.done[slot].astype(jnp.int32)[None],
+                    state.fin_lens[slot],
+                ]
+            )  # [K+2]
+            toks = jnp.concatenate(
+                [state.fin_tokens[slot], state.tokens[slot]], axis=0
+            )  # [2K,T]
+            scores = jnp.concatenate(
+                [state.fin_scores[slot], state.beam_scores[slot]]
+            )  # [2K]
+            idx = jnp.arange(S_) == slot
+            new = dataclasses.replace(
+                state,
+                active=jnp.where(idx, False, state.active),
+                done=jnp.where(idx, False, state.done),
+            )
+            return ints, toks, scores, new
+
         self._chunk_fn = chunk_fn
         self._admit_fn = admit_fn
+        self._admit_tokens_fn = admit_tokens_fn
+        self._finalize_fn = finalize_fn
 
     # -- host API ------------------------------------------------------ #
 
-    def dispatch_run(
-        self, max_steps: int
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def dispatch_run(self, max_steps: int) -> jnp.ndarray:
         """Dispatch one run-until-event program (async) and return the
-        device status arrays ``(active, done, n, steps)`` with host copies
-        already in flight — the serving loop retires them a dispatch later,
-        overlapping the round trip with the next program's compute."""
+        packed device status vector (see ``unpack_status``) with its host
+        copy already in flight — the serving loop retires it a dispatch
+        later, overlapping the round trip with the next program's compute."""
         self.state, status = self._chunk_fn(
             self.params, self.state, jnp.int32(max_steps)
         )
-        for a in status:
-            a.copy_to_host_async()
+        status.copy_to_host_async()
         return status
+
+    def unpack_status(
+        self, packed: Any
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Packed int32 [3S+1] -> (active, done, n, steps)."""
+        arr = np.asarray(packed)
+        S = self.num_slots
+        return (
+            arr[:S] != 0,
+            arr[S : 2 * S] != 0,
+            arr[2 * S : 3 * S],
+            int(arr[3 * S]),
+        )
+
+    def admit_batch_tokens(
+        self, slots: List[int], ids: Any, mask: Any
+    ) -> None:
+        """Admit a wave of tokenized requests in ONE dispatch.
+
+        ``ids``/``mask`` are [A, max_src_len] host or device arrays; row i
+        goes to ``slots[i]``. Rows with slot -1 are padding no-ops (their
+        one-hot scatter row is zero), so callers can bucket A to a power of
+        two for shape reuse."""
+        assert ids.shape[1] == self.max_src_len, (
+            f"admission rows must be padded to max_src_len={self.max_src_len}, "
+            f"got {ids.shape[1]}"
+        )
+        self.state = self._admit_tokens_fn(
+            self.params,
+            self.state,
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
 
     def host_status(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One host fetch of (active, done, n).
@@ -521,23 +668,17 @@ class StepwiseBeamEngine:
         ]
 
     def prefetch_finalize(self, slot: int) -> Tuple[jnp.ndarray, ...]:
-        """Start async host copies of everything ``finalize_prefetched``
-        needs for ``slot``; returns the handle. The serving loop calls this
-        the moment a status shows the slot finished, so the copies ride
-        along with the next dispatch's compute instead of blocking."""
-        st = self.state
-        arrs = (
-            st.n[slot],
-            st.done[slot],
-            st.fin_scores[slot],
-            st.fin_tokens[slot],
-            st.fin_lens[slot],
-            st.beam_scores[slot],
-            st.tokens[slot],
+        """ONE dispatch that gathers everything ``finalize_prefetched``
+        needs for ``slot`` (three packed outputs, host copies started) and
+        frees the slot on device; returns the handle. The serving loop
+        calls this the moment a status shows the slot finished, so the
+        copies ride along with the next dispatch's compute."""
+        ints, toks, scores, self.state = self._finalize_fn(
+            self.state, jnp.int32(slot)
         )
-        for a in arrs:
+        for a in (ints, toks, scores):
             a.copy_to_host_async()
-        return arrs
+        return (ints, toks, scores)
 
     def finalize(self, slot: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Extract (sequences [K,T], scores [K], lengths [K]) and free the slot.
@@ -552,12 +693,13 @@ class StepwiseBeamEngine:
         self, slot: int, handle: Tuple[jnp.ndarray, ...]
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Complete a ``prefetch_finalize`` handle: host-side hypothesis
-        merge (HF semantics) + free the slot on device."""
+        merge (HF semantics). The slot was already freed at prefetch."""
         K = self.num_beams
-        n_, done_, fin_scores, fin_tokens, fin_lens, beam_scores, tokens = (
-            np.asarray(a) for a in handle
-        )
-        n, done = int(n_), bool(done_)
+        ints, toks, scores = (np.asarray(a) for a in handle)
+        n, done = int(ints[0]), bool(ints[1])
+        fin_lens = ints[2:]
+        fin_tokens, tokens = toks[:K], toks[K:]
+        fin_scores, beam_scores = scores[:K], scores[K:]
         if done:
             merged_scores, merged_tokens, merged_lens = (
                 fin_scores, fin_tokens, fin_lens
@@ -576,9 +718,4 @@ class StepwiseBeamEngine:
                 [fin_lens, np.full((K,), n, np.int32)]
             )
         keep = np.argsort(-merged_scores, kind="stable")[:K]
-        self.state = dataclasses.replace(
-            self.state,
-            active=self.state.active.at[slot].set(False),
-            done=self.state.done.at[slot].set(False),
-        )
         return merged_tokens[keep], merged_scores[keep], merged_lens[keep]

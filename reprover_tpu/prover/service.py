@@ -262,7 +262,6 @@ class StreamingInferenceService(InferenceService):
         import jax.numpy as jnp
 
         from reprover_tpu.generation.engine import StepwiseBeamEngine
-        from reprover_tpu.models.t5 import encode as t5_encode
         from reprover_tpu.tokenizer import round_to_bucket
 
         gen = self.generator
@@ -279,35 +278,26 @@ class StreamingInferenceService(InferenceService):
             length_penalty=gen.length_penalty,
             chunk_size=self.chunk_size,
         )
-        self._encode = lambda ids, mask: t5_encode(gen.params, gen.cfg, ids, mask)
         self._jnp = jnp
 
-    def _encode_admissions(
-        self, states: List[str]
-    ) -> Tuple[List[Any], List[Any]]:
-        """Encode all arrivals as one padded batch -> per-request [1, Smax]
-        slices (one encoder dispatch instead of one per request)."""
-        jnp = self._jnp
+    def _admit_wave(self, slots: List[int], states: List[str]) -> None:
+        """Tokenize an arrival wave padded to the engine's source bucket and
+        admit it in ONE device dispatch (encode + cross-projection + scatter
+        fused in :meth:`StepwiseBeamEngine.admit_batch_tokens`). The batch is
+        padded to a power-of-2 bucket with slot = -1 no-op rows, so one
+        compiled program per bucket serves every arrival count."""
         gen = self.generator
-        # Power-of-2 batch bucket: one compiled encoder per (batch-bucket,
-        # src-bucket), not one per arrival count.
         bucket = _batch_buckets(len(states), self.num_slots)
         padded_states = states + [""] * (bucket - len(states))
+        padded_slots = list(slots) + [-1] * (bucket - len(slots))
         batch = gen.tokenizer(
             padded_states,
             max_length=gen.max_inp_seq_len,
-            bucket_multiple=gen.bucket_multiple,
+            pad_to=self._src_max,
         )
-        ids = jnp.asarray(batch.input_ids)
-        mask = jnp.asarray(batch.attention_mask)
-        enc = self._encode(ids, mask)
-        pad = self._src_max - enc.shape[1]
-        if pad:
-            enc = jnp.pad(enc, ((0, 0), (0, pad), (0, 0)))
-            mask = jnp.pad(mask, ((0, 0), (0, pad)))
-        encs = [enc[i : i + 1] for i in range(len(states))]
-        masks = [mask[i : i + 1] for i in range(len(states))]
-        return encs, masks
+        self._engine.admit_batch_tokens(
+            padded_slots, batch.input_ids, batch.attention_mask
+        )
 
     def _emit(self, slot: int, handle: Any) -> None:
         seqs, scores, _ = self._engine.finalize_prefetched(slot, handle)
@@ -393,10 +383,9 @@ class StreamingInferenceService(InferenceService):
                         if self.retriever is not None
                         else [r.state for r in admissible]
                     )
-                    encs, masks = self._encode_admissions(states)
-                    for req, enc, mask in zip(admissible, encs, masks):
-                        slot = free.pop(0)
-                        eng.admit(slot, enc, mask)
+                    slots = free[: len(admissible)]
+                    self._admit_wave(slots, states)
+                    for req, slot in zip(admissible, slots):
                         self._slot_req[slot] = req
                         occupied[slot] = True
                         barrier[slot] = seq
@@ -429,9 +418,9 @@ class StreamingInferenceService(InferenceService):
             if pending:
                 psq, status = pending.popleft()
                 t0 = time.monotonic()
-                _, done_d, n_d, steps = (np.asarray(a) for a in status)
+                _, done_d, n_d, steps = eng.unpack_status(status)
                 self.stats["status_time"] += time.monotonic() - t0
-                self.stats["steps"] += int(steps)
+                self.stats["steps"] += steps
                 for s in range(S):
                     if (
                         occupied[s]
