@@ -581,6 +581,14 @@ class StepwiseBeamEngine:
 
     # -- host API ------------------------------------------------------ #
 
+    def reset(self) -> None:
+        """Reinstall a blank engine state (all slots vacant). Keeps the
+        compiled programs — used by the serving loop's crash containment."""
+        self.state = init_engine_state(
+            self.params, self.cfg, self.num_slots, self.num_beams,
+            self.max_src_len, self.max_decode_len,
+        )
+
     def dispatch_run(self, max_steps: int) -> jnp.ndarray:
         """Dispatch one run-until-event program (async) and return the
         packed device status vector (see ``unpack_status``) with its host
@@ -618,12 +626,17 @@ class StepwiseBeamEngine:
             f"admission rows must be padded to max_src_len={self.max_src_len}, "
             f"got {ids.shape[1]}"
         )
+        # Pass host arrays straight into the jit call: the implicit
+        # transfer is enqueued asynchronously, whereas an explicit
+        # ``jnp.asarray`` BLOCKS until the copy lands — and copies queue
+        # behind the pipelined run programs' compute (measured ~0.4 s per
+        # admission wave through the tunnel).
         self.state = self._admit_tokens_fn(
             self.params,
             self.state,
-            jnp.asarray(np.asarray(slots, np.int32)),
-            jnp.asarray(ids),
-            jnp.asarray(mask),
+            np.asarray(slots, np.int32),
+            np.ascontiguousarray(ids),
+            np.ascontiguousarray(mask),
         )
 
     def host_status(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

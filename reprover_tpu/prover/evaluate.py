@@ -205,6 +205,20 @@ def main() -> None:
         help="decoder steps per jit'd chunk for --streaming (admission "
         "latency vs per-chunk host round trips)",
     )
+    parser.add_argument(
+        "--chunk-burst",
+        type=int,
+        default=4,
+        help="backlog-empty step horizon = chunk-size * chunk-burst for "
+        "--streaming (the device stops early on a finish event)",
+    )
+    parser.add_argument(
+        "--pipeline-depth",
+        type=int,
+        default=2,
+        help="device programs in flight ahead of status retirement for "
+        "--streaming (hides the host round trip)",
+    )
     args = parser.parse_args()
 
     assert args.gen_ckpt_path or args.tactic
@@ -274,6 +288,8 @@ def main() -> None:
                 num_slots=args.num_slots,
                 num_beams=args.num_sampled_tactics,
                 chunk_size=args.chunk_size,
+                chunk_burst=args.chunk_burst,
+                pipeline_depth=args.pipeline_depth,
             )
         else:
             service = InferenceService(

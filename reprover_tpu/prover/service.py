@@ -313,17 +313,34 @@ class StreamingInferenceService(InferenceService):
         self.stats["requests"] += 1
 
     def _serve(self) -> None:
+        """Crash containment around the serving loop: an unexpected error
+        fails every outstanding request (instead of hanging their clients
+        until timeout), resets the engine to a blank state, and keeps
+        serving — arrivals still queued are preserved."""
+        self._build_engine()
+        self._slot_req: Dict[int, GenerateRequest] = {}
+        self._backlog: List[GenerateRequest] = []
+        while not self._stop.is_set():
+            try:
+                self._serve_inner()
+            except Exception as ex:
+                for req in list(self._slot_req.values()):
+                    self._response_qs[req.client_id].put(
+                        GenerateResponse(req.req_id, [], error=repr(ex))
+                    )
+                self._slot_req.clear()
+                self._engine.reset()
+
+    def _serve_inner(self) -> None:
         import queue as _q
         from collections import deque
 
         import numpy as np
 
-        self._build_engine()
-        self._slot_req: Dict[int, GenerateRequest] = {}
         eng = self._engine
         S = self.num_slots
         T = eng.max_decode_len
-        backlog: List[GenerateRequest] = []
+        backlog = self._backlog
         # Host-authoritative occupancy: statuses in the pipeline are stale
         # by construction, so free/occupied lives here and the device is
         # only consulted for *finish* events.
@@ -334,15 +351,24 @@ class StreamingInferenceService(InferenceService):
         seq = 0
 
         while not self._stop.is_set():
-            # 1. Complete finalize prefetches: respond + free the slots.
-            #    The host copies were started one loop ago and rode along
-            #    with the most recent dispatch's compute.
+            # 1. Complete finalize prefetches whose host copies have landed:
+            #    respond + free the slots. Copies still in flight (they
+            #    queue behind dispatched compute) stay pending — blocking
+            #    on them would stall the whole loop, so only force the
+            #    issue when nothing else can make progress.
             if fin_pending:
                 t0 = time.monotonic()
+                force = not pending and not backlog
+                ready, waiting = [], []
                 for slot, handle in fin_pending:
+                    if force or all(a.is_ready() for a in handle):
+                        ready.append((slot, handle))
+                    else:
+                        waiting.append((slot, handle))
+                for slot, handle in ready:
                     self._emit(slot, handle)
                     occupied[slot] = False
-                fin_pending = []
+                fin_pending = waiting
                 self.stats["emit_time"] += time.monotonic() - t0
 
             # 2. Drain arrivals (block only when fully idle).
@@ -373,7 +399,7 @@ class StreamingInferenceService(InferenceService):
                     self._response_qs[req.client_id].put(
                         GenerateResponse(req.req_id, [], error=repr(ex))
                     )
-            backlog = still
+            backlog[:] = still  # slice-assign: keeps the crash-survivor alias
             if admissible:
                 t0 = time.monotonic()
                 free = [s for s in range(S) if not occupied[s]]
@@ -399,8 +425,14 @@ class StreamingInferenceService(InferenceService):
 
             # 4. Keep the dispatch pipeline full: run-until-event programs
             #    whose horizon shrinks to one chunk when arrivals wait.
+            #    Slots already freed on device (awaiting emission) have no
+            #    work left — dispatching for them alone would spin.
             t0 = time.monotonic()
-            while occupied.any() and len(pending) < self.pipeline_depth:
+            fin_slots = {s for s, _ in fin_pending}
+            decoding = any(
+                occupied[s] and s not in fin_slots for s in range(S)
+            )
+            while decoding and len(pending) < self.pipeline_depth:
                 horizon = (
                     self.chunk_size
                     if backlog
@@ -421,9 +453,11 @@ class StreamingInferenceService(InferenceService):
                 _, done_d, n_d, steps = eng.unpack_status(status)
                 self.stats["status_time"] += time.monotonic() - t0
                 self.stats["steps"] += steps
+                awaiting = {s for s, _ in fin_pending}
                 for s in range(S):
                     if (
                         occupied[s]
+                        and s not in awaiting
                         and psq >= barrier[s]
                         and (done_d[s] or n_d[s] >= T)
                     ):

@@ -122,6 +122,36 @@ def test_slot_reuse_after_finalize(setup):
     _assert_same(second[0], classic[texts[3]])
 
 
+def test_admit_batch_tokens_wave(setup):
+    """One-dispatch wave admission: three requests scattered into a 4-slot
+    engine with a padding row (slot -1) must be a no-op for the padding and
+    classic-exact for the rest — including a wave admitted mid-decode."""
+    params, model, texts, classic = setup
+    engine = StepwiseBeamEngine(
+        params, CFG, num_slots=4, num_beams=K,
+        max_src_len=SMAX, max_decode_len=TDEC, chunk_size=3,
+    )
+
+    def wave(slots, wave_texts):
+        batch = model.tokenizer(
+            wave_texts + [""] * (4 - len(wave_texts)),
+            max_length=SMAX, pad_to=SMAX,
+        )
+        engine.admit_batch_tokens(
+            slots + [-1] * (4 - len(slots)),
+            batch.input_ids, batch.attention_mask,
+        )
+
+    wave([2, 0], [texts[0], texts[1]])
+    engine.run_chunk()  # slots 0/2 are mid-decode when slot 1 joins
+    wave([1], [texts[2]])
+    results = _collect(engine, model)
+    _assert_same(results[2], classic[texts[0]])
+    _assert_same(results[0], classic[texts[1]])
+    _assert_same(results[1], classic[texts[2]])
+    assert 3 not in results  # the padding row never occupied slot 3
+
+
 def test_streaming_service_matches_classic(setup):
     """StreamingInferenceService candidates == classic generate, including a
     mismatched-width request served through the fallback path."""
