@@ -252,8 +252,12 @@ class StreamingInferenceService(InferenceService):
                 "steps": 0,
                 "admissions": 0,
                 "fallbacks": 0,
+                "loops": 0,
                 "status_time": 0.0,
+                "drain_time": 0.0,
                 "admit_time": 0.0,
+                "admit_tok_time": 0.0,
+                "admit_dispatch_time": 0.0,
                 "emit_time": 0.0,
             }
         )
@@ -287,6 +291,7 @@ class StreamingInferenceService(InferenceService):
         padded to a power-of-2 bucket with slot = -1 no-op rows, so one
         compiled program per bucket serves every arrival count."""
         gen = self.generator
+        t0 = time.monotonic()
         bucket = _batch_buckets(len(states), self.num_slots)
         padded_states = states + [""] * (bucket - len(states))
         padded_slots = list(slots) + [-1] * (bucket - len(slots))
@@ -295,9 +300,13 @@ class StreamingInferenceService(InferenceService):
             max_length=gen.max_inp_seq_len,
             pad_to=self._src_max,
         )
+        t1 = time.monotonic()
         self._engine.admit_batch_tokens(
             padded_slots, batch.input_ids, batch.attention_mask
         )
+        t2 = time.monotonic()
+        self.stats["admit_tok_time"] += t1 - t0
+        self.stats["admit_dispatch_time"] += t2 - t1
 
     def _emit(self, slot: int, handle: Any) -> None:
         seqs, scores, _ = self._engine.finalize_prefetched(slot, handle)
@@ -356,6 +365,7 @@ class StreamingInferenceService(InferenceService):
             #    queue behind dispatched compute) stay pending — blocking
             #    on them would stall the whole loop, so only force the
             #    issue when nothing else can make progress.
+            did_work = False
             if fin_pending:
                 t0 = time.monotonic()
                 force = not pending and not backlog
@@ -368,10 +378,13 @@ class StreamingInferenceService(InferenceService):
                 for slot, handle in ready:
                     self._emit(slot, handle)
                     occupied[slot] = False
+                    did_work = True
                 fin_pending = waiting
                 self.stats["emit_time"] += time.monotonic() - t0
 
             # 2. Drain arrivals (block only when fully idle).
+            self.stats["loops"] += 1
+            t0 = time.monotonic()
             idle = not occupied.any() and not backlog and not pending
             try:
                 backlog.append(self.request_q.get(timeout=0.05 if idle else 0.0))
@@ -379,6 +392,7 @@ class StreamingInferenceService(InferenceService):
                     backlog.append(self.request_q.get_nowait())
             except _q.Empty:
                 pass
+            self.stats["drain_time"] += time.monotonic() - t0
 
             # 3. Route: fallbacks for mismatched widths; admit the rest
             #    into free slots with ONE batched encoder pass.
@@ -411,6 +425,7 @@ class StreamingInferenceService(InferenceService):
                     )
                     slots = free[: len(admissible)]
                     self._admit_wave(slots, states)
+                    did_work = True
                     for req, slot in zip(admissible, slots):
                         self._slot_req[slot] = req
                         occupied[slot] = True
@@ -432,10 +447,16 @@ class StreamingInferenceService(InferenceService):
             decoding = any(
                 occupied[s] and s not in fin_slots for s in range(S)
             )
+            # A short horizon only helps when an arrival could actually be
+            # admitted soon — i.e. a slot is free. With every slot busy,
+            # finish events (which end a run early regardless of horizon)
+            # are the only thing that frees one, so run long and save the
+            # round trips.
+            slot_free = not all(occupied)
             while decoding and len(pending) < self.pipeline_depth:
                 horizon = (
                     self.chunk_size
-                    if backlog
+                    if slot_free
                     else self.chunk_size * self.chunk_burst
                 )
                 pending.append((seq, eng.dispatch_run(horizon)))
@@ -444,10 +465,12 @@ class StreamingInferenceService(InferenceService):
             self.stats["device_time"] += time.monotonic() - t0
 
             # 5. Retire the oldest status — its round trip overlapped the
-            #    newer dispatches' compute. Admissions newer than the status
-            #    (barrier) can't be judged by it; they stay until a
-            #    post-admission status arrives.
-            if pending:
+            #    newer dispatches' compute. Don't block on it while emits
+            #    or admissions are still making progress; do block when the
+            #    loop has nothing else (that blocking IS the pacing).
+            #    Admissions newer than the status (barrier) can't be judged
+            #    by it; they stay until a post-admission status arrives.
+            if pending and (pending[0][1].is_ready() or not did_work):
                 psq, status = pending.popleft()
                 t0 = time.monotonic()
                 _, done_d, n_d, steps = eng.unpack_status(status)
