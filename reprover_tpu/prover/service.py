@@ -485,6 +485,16 @@ class StreamingInferenceService(InferenceService):
                         and (done_d[s] or n_d[s] >= T)
                     ):
                         fin_pending.append((s, eng.prefetch_finalize(s)))
+            elif fin_pending and not did_work:
+                # Nothing blocked and nothing progressed this iteration —
+                # every occupied slot is awaiting emission with no status in
+                # flight. Complete the oldest finalize (blocking) instead of
+                # spinning on is_ready.
+                t0 = time.monotonic()
+                slot, handle = fin_pending.pop(0)
+                self._emit(slot, handle)
+                occupied[slot] = False
+                self.stats["emit_time"] += time.monotonic() - t0
 
 
 class ServiceClient:
