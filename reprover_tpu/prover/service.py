@@ -341,8 +341,19 @@ class StreamingInferenceService(InferenceService):
                 self._engine.reset()
 
     def _serve_inner(self) -> None:
+        """Event-driven serving loop.
+
+        The device conversation is fully asynchronous: the serve thread
+        (sole owner of the engine) dispatches run programs, admissions, and
+        finalize gathers without ever blocking on the device. All blocking
+        host fetches happen on a *reaper* thread that resolves device
+        handles in FIFO order and feeds one event queue; a forwarder thread
+        funnels client arrivals into the same queue. The serve thread
+        therefore reacts to whichever happens first — a new request, a
+        retired status, or a landed finalize — instead of serializing a
+        fixed phase order around blocking fetches (which left the device
+        idle and workers starved of responses)."""
         import queue as _q
-        from collections import deque
 
         import numpy as np
 
@@ -350,151 +361,160 @@ class StreamingInferenceService(InferenceService):
         S = self.num_slots
         T = eng.max_decode_len
         backlog = self._backlog
-        # Host-authoritative occupancy: statuses in the pipeline are stale
-        # by construction, so free/occupied lives here and the device is
-        # only consulted for *finish* events.
+        events: Any = _q.Queue()  # ("req", r) | ("status", seq, arr) | ("fin", slot, arrs)
+        reap_q: Any = _q.Queue()  # device handles awaiting host copies, FIFO
+        # Helper threads stop on session stop OR this invocation's teardown
+        # (crash containment re-enters with fresh queues — stale threads
+        # must not keep consuming the client request queue).
+        inner_stop = threading.Event()
+        stop = self._stop
+
+        def halted() -> bool:
+            return stop.is_set() or inner_stop.is_set()
+
+        def forwarder() -> None:
+            while not halted():
+                try:
+                    events.put(("req", self.request_q.get(timeout=0.1)))
+                except _q.Empty:
+                    continue
+
+        def reaper() -> None:
+            while not halted():
+                try:
+                    kind, key, handles = reap_q.get(timeout=0.1)
+                except _q.Empty:
+                    continue
+                t0 = time.monotonic()
+                host = tuple(np.asarray(a) for a in handles)
+                self.stats[
+                    "status_time" if kind == "status" else "emit_time"
+                ] += time.monotonic() - t0
+                events.put((kind, key, host))
+
+        threads = [
+            threading.Thread(target=forwarder, daemon=True),
+            threading.Thread(target=reaper, daemon=True),
+        ]
+        for t in threads:
+            t.start()
+
+        # Host-authoritative slot bookkeeping: statuses are stale by
+        # construction, so occupancy lives here and the device is only
+        # consulted for *finish* events.
         occupied = np.zeros(S, dtype=bool)
+        awaiting_fin = set()  # slots freed on device, response not yet sent
         barrier = [0] * S  # first dispatch seq that can see this admission
-        pending: Any = deque()  # (dispatch_seq, device status) in flight
-        fin_pending: List[Tuple[int, Any]] = []  # finalize prefetches
+        in_flight = 0  # statuses dispatched, not yet back through events
         seq = 0
 
-        while not self._stop.is_set():
-            # 1. Complete finalize prefetches whose host copies have landed:
-            #    respond + free the slots. Copies still in flight (they
-            #    queue behind dispatched compute) stay pending — blocking
-            #    on them would stall the whole loop, so only force the
-            #    issue when nothing else can make progress.
-            did_work = False
-            if fin_pending:
-                t0 = time.monotonic()
-                force = not pending and not backlog
-                ready, waiting = [], []
-                for slot, handle in fin_pending:
-                    if force or all(a.is_ready() for a in handle):
-                        ready.append((slot, handle))
-                    else:
-                        waiting.append((slot, handle))
-                for slot, handle in ready:
-                    self._emit(slot, handle)
-                    occupied[slot] = False
-                    did_work = True
-                fin_pending = waiting
-                self.stats["emit_time"] += time.monotonic() - t0
+        try:
+            while not stop.is_set():
+                self.stats["loops"] += 1
+                # 1. Wait for the next event; then drain everything ready.
+                try:
+                    batch = [events.get(timeout=0.05)]
+                except _q.Empty:
+                    batch = []
+                try:
+                    while True:
+                        batch.append(events.get_nowait())
+                except _q.Empty:
+                    pass
 
-            # 2. Drain arrivals (block only when fully idle).
-            self.stats["loops"] += 1
-            t0 = time.monotonic()
-            idle = not occupied.any() and not backlog and not pending
+                for kind, *payload in batch:
+                    if kind == "req":
+                        (req,) = payload
+                        try:
+                            if req.num_samples != self.num_beams:
+                                self.stats["fallbacks"] += 1
+                                self._serve_group([req], req.num_samples)
+                            else:
+                                backlog.append(req)
+                        except Exception as ex:  # containment per request
+                            self._response_qs[req.client_id].put(
+                                GenerateResponse(req.req_id, [], error=repr(ex))
+                            )
+                    elif kind == "status":
+                        psq, (arr,) = payload
+                        in_flight -= 1
+                        _, done_d, n_d, steps = eng.unpack_status(arr)
+                        self.stats["steps"] += steps
+                        for s in range(S):
+                            if (
+                                occupied[s]
+                                and s not in awaiting_fin
+                                and psq >= barrier[s]
+                                and (done_d[s] or n_d[s] >= T)
+                            ):
+                                awaiting_fin.add(s)
+                                reap_q.put(
+                                    ("fin", s, eng.prefetch_finalize(s))
+                                )
+                    else:  # "fin" — host copies landed, respond + free
+                        slot, host = payload
+                        self._emit(slot, host)
+                        occupied[slot] = False
+                        awaiting_fin.discard(slot)
+
+                # 2. Admit a wave into free slots (one fused dispatch).
+                free = [s for s in range(S) if not occupied[s]]
+                if backlog and free:
+                    t0 = time.monotonic()
+                    admissible = backlog[: len(free)]
+                    del backlog[: len(free)]
+                    try:
+                        states = (
+                            self._augment(admissible)
+                            if self.retriever is not None
+                            else [r.state for r in admissible]
+                        )
+                        slots = free[: len(admissible)]
+                        self._admit_wave(slots, states)
+                        for req, slot in zip(admissible, slots):
+                            self._slot_req[slot] = req
+                            occupied[slot] = True
+                            barrier[slot] = seq
+                            self.stats["admissions"] += 1
+                    except Exception as ex:
+                        for req in admissible:
+                            self._response_qs[req.client_id].put(
+                                GenerateResponse(req.req_id, [], error=repr(ex))
+                            )
+                    self.stats["admit_time"] += time.monotonic() - t0
+
+                # 3. Keep run programs in flight for the decoding slots.
+                #    A short horizon only pays when a free slot means an
+                #    arrival could be admitted soon; with every slot busy,
+                #    the finish events that end a run early are what free
+                #    slots, so run long and save round trips.
+                decoding = any(
+                    occupied[s] and s not in awaiting_fin for s in range(S)
+                )
+                slot_free = not all(occupied)
+                while decoding and in_flight < self.pipeline_depth:
+                    horizon = (
+                        self.chunk_size
+                        if slot_free
+                        else self.chunk_size * self.chunk_burst
+                    )
+                    reap_q.put(("status", seq, (eng.dispatch_run(horizon),)))
+                    seq += 1
+                    in_flight += 1
+                    self.stats["chunks"] += 1
+        finally:
+            inner_stop.set()
+            for t in threads:
+                t.join(timeout=1.0)
+            # Recover arrivals stranded in this invocation's event queue so
+            # crash-containment reentry still serves them.
             try:
-                backlog.append(self.request_q.get(timeout=0.05 if idle else 0.0))
                 while True:
-                    backlog.append(self.request_q.get_nowait())
+                    kind, *payload = events.get_nowait()
+                    if kind == "req":
+                        backlog.append(payload[0])
             except _q.Empty:
                 pass
-            self.stats["drain_time"] += time.monotonic() - t0
-
-            # 3. Route: fallbacks for mismatched widths; admit the rest
-            #    into free slots with ONE batched encoder pass.
-            free = [s for s in range(S) if not occupied[s]]
-            admissible: List[GenerateRequest] = []
-            still: List[GenerateRequest] = []
-            for req in backlog:
-                try:
-                    if req.num_samples != self.num_beams:
-                        self.stats["fallbacks"] += 1
-                        self._serve_group([req], req.num_samples)
-                    elif free:
-                        admissible.append(req)
-                        free.pop(0)
-                    else:
-                        still.append(req)
-                except Exception as ex:  # containment per request
-                    self._response_qs[req.client_id].put(
-                        GenerateResponse(req.req_id, [], error=repr(ex))
-                    )
-            backlog[:] = still  # slice-assign: keeps the crash-survivor alias
-            if admissible:
-                t0 = time.monotonic()
-                free = [s for s in range(S) if not occupied[s]]
-                try:
-                    states = (
-                        self._augment(admissible)
-                        if self.retriever is not None
-                        else [r.state for r in admissible]
-                    )
-                    slots = free[: len(admissible)]
-                    self._admit_wave(slots, states)
-                    did_work = True
-                    for req, slot in zip(admissible, slots):
-                        self._slot_req[slot] = req
-                        occupied[slot] = True
-                        barrier[slot] = seq
-                        self.stats["admissions"] += 1
-                except Exception as ex:
-                    for req in admissible:
-                        self._response_qs[req.client_id].put(
-                            GenerateResponse(req.req_id, [], error=repr(ex))
-                        )
-                self.stats["admit_time"] += time.monotonic() - t0
-
-            # 4. Keep the dispatch pipeline full: run-until-event programs
-            #    whose horizon shrinks to one chunk when arrivals wait.
-            #    Slots already freed on device (awaiting emission) have no
-            #    work left — dispatching for them alone would spin.
-            t0 = time.monotonic()
-            fin_slots = {s for s, _ in fin_pending}
-            decoding = any(
-                occupied[s] and s not in fin_slots for s in range(S)
-            )
-            # A short horizon only helps when an arrival could actually be
-            # admitted soon — i.e. a slot is free. With every slot busy,
-            # finish events (which end a run early regardless of horizon)
-            # are the only thing that frees one, so run long and save the
-            # round trips.
-            slot_free = not all(occupied)
-            while decoding and len(pending) < self.pipeline_depth:
-                horizon = (
-                    self.chunk_size
-                    if slot_free
-                    else self.chunk_size * self.chunk_burst
-                )
-                pending.append((seq, eng.dispatch_run(horizon)))
-                seq += 1
-                self.stats["chunks"] += 1
-            self.stats["device_time"] += time.monotonic() - t0
-
-            # 5. Retire the oldest status — its round trip overlapped the
-            #    newer dispatches' compute. Don't block on it while emits
-            #    or admissions are still making progress; do block when the
-            #    loop has nothing else (that blocking IS the pacing).
-            #    Admissions newer than the status (barrier) can't be judged
-            #    by it; they stay until a post-admission status arrives.
-            if pending and (pending[0][1].is_ready() or not did_work):
-                psq, status = pending.popleft()
-                t0 = time.monotonic()
-                _, done_d, n_d, steps = eng.unpack_status(status)
-                self.stats["status_time"] += time.monotonic() - t0
-                self.stats["steps"] += steps
-                awaiting = {s for s, _ in fin_pending}
-                for s in range(S):
-                    if (
-                        occupied[s]
-                        and s not in awaiting
-                        and psq >= barrier[s]
-                        and (done_d[s] or n_d[s] >= T)
-                    ):
-                        fin_pending.append((s, eng.prefetch_finalize(s)))
-            elif fin_pending and not did_work:
-                # Nothing blocked and nothing progressed this iteration —
-                # every occupied slot is awaiting emission with no status in
-                # flight. Complete the oldest finalize (blocking) instead of
-                # spinning on is_ready.
-                t0 = time.monotonic()
-                slot, handle = fin_pending.pop(0)
-                self._emit(slot, handle)
-                occupied[slot] = False
-                self.stats["emit_time"] += time.monotonic() - t0
 
 
 class ServiceClient:
