@@ -230,7 +230,7 @@ class StreamingInferenceService(InferenceService):
         num_beams: int = 64,
         chunk_size: int = 8,
         chunk_burst: int = 4,
-        pipeline_depth: int = 2,
+        pipeline_depth: int = 4,
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         self.num_slots = num_slots
@@ -362,7 +362,11 @@ class StreamingInferenceService(InferenceService):
         T = eng.max_decode_len
         backlog = self._backlog
         events: Any = _q.Queue()  # ("req", r) | ("status", seq, arr) | ("fin", slot, arrs)
-        reap_q: Any = _q.Queue()  # device handles awaiting host copies, FIFO
+        # One reap queue per kind: a finalize fetch (waits on copies queued
+        # behind dispatched compute) must not head-of-line-block status
+        # fetches, which pace the dispatch pipeline — and vice versa.
+        status_q: Any = _q.Queue()
+        fin_q: Any = _q.Queue()
         # Helper threads stop on session stop OR this invocation's teardown
         # (crash containment re-enters with fresh queues — stale threads
         # must not keep consuming the client request queue).
@@ -379,22 +383,26 @@ class StreamingInferenceService(InferenceService):
                 except _q.Empty:
                     continue
 
-        def reaper() -> None:
+        def reaper(kind: str, q: Any, stat: str) -> None:
             while not halted():
                 try:
-                    kind, key, handles = reap_q.get(timeout=0.1)
+                    key, handles = q.get(timeout=0.1)
                 except _q.Empty:
                     continue
                 t0 = time.monotonic()
                 host = tuple(np.asarray(a) for a in handles)
-                self.stats[
-                    "status_time" if kind == "status" else "emit_time"
-                ] += time.monotonic() - t0
+                self.stats[stat] += time.monotonic() - t0
                 events.put((kind, key, host))
 
         threads = [
             threading.Thread(target=forwarder, daemon=True),
-            threading.Thread(target=reaper, daemon=True),
+            threading.Thread(
+                target=reaper, args=("status", status_q, "status_time"),
+                daemon=True,
+            ),
+            threading.Thread(
+                target=reaper, args=("fin", fin_q, "emit_time"), daemon=True
+            ),
         ]
         for t in threads:
             t.start()
@@ -448,9 +456,7 @@ class StreamingInferenceService(InferenceService):
                                 and (done_d[s] or n_d[s] >= T)
                             ):
                                 awaiting_fin.add(s)
-                                reap_q.put(
-                                    ("fin", s, eng.prefetch_finalize(s))
-                                )
+                                fin_q.put((s, eng.prefetch_finalize(s)))
                     else:  # "fin" — host copies landed, respond + free
                         slot, host = payload
                         self._emit(slot, host)
@@ -498,7 +504,7 @@ class StreamingInferenceService(InferenceService):
                         if slot_free
                         else self.chunk_size * self.chunk_burst
                     )
-                    reap_q.put(("status", seq, (eng.dispatch_run(horizon),)))
+                    status_q.put((seq, (eng.dispatch_run(horizon),)))
                     seq += 1
                     in_flight += 1
                     self.stats["chunks"] += 1
