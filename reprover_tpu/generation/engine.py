@@ -403,18 +403,37 @@ class StepwiseBeamEngine:
                 return engine_step(params, cfg, s, lp), i + 1
 
             out, steps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-            # ONE packed int32 status vector [3S+1]: a single host copy per
+            # ONE packed int32 status vector [3S+2]: a single host copy per
             # dispatch instead of four (each transfer pays the transport's
             # per-call overhead).
+            #
+            # The program just exited on (at most) one *new* finish event —
+            # gather that slot's finalize payload and ship it WITH the
+            # status, so the common finish path costs zero extra round
+            # trips. Simultaneous multi-finishes fall back to
+            # ``prefetch_finalize`` host-side.
+            fin_new = _finished(out) & ~fin0
+            f = jnp.where(fin_new.any(), jnp.argmax(fin_new), -1)
             packed = jnp.concatenate(
                 [
                     out.active.astype(jnp.int32),
                     out.done.astype(jnp.int32),
                     out.n,
                     steps[None],
+                    f[None],
                 ]
             )
-            return out, packed
+            g = jnp.maximum(f, 0)
+            ints = jnp.concatenate(
+                [
+                    out.n[g][None],
+                    out.done[g].astype(jnp.int32)[None],
+                    out.fin_lens[g],
+                ]
+            )
+            toks = jnp.concatenate([out.fin_tokens[g], out.tokens[g]], axis=0)
+            scores = jnp.concatenate([out.fin_scores[g], out.beam_scores[g]])
+            return out, (packed, ints, toks, scores)
 
         @partial(jax.jit, donate_argnums=(1,))
         def admit_fn(
@@ -589,21 +608,27 @@ class StepwiseBeamEngine:
             self.max_src_len, self.max_decode_len,
         )
 
-    def dispatch_run(self, max_steps: int) -> jnp.ndarray:
+    def dispatch_run(self, max_steps: int) -> Tuple[jnp.ndarray, ...]:
         """Dispatch one run-until-event program (async) and return the
-        packed device status vector (see ``unpack_status``) with its host
-        copy already in flight — the serving loop retires it a dispatch
-        later, overlapping the round trip with the next program's compute."""
+        device status vector plus the finish-event finalize payload
+        (ints, toks, scores), all with host copies already in flight —
+        the serving loop retires them a dispatch later, overlapping the
+        round trip with the next program's compute."""
         self.state, status = self._chunk_fn(
             self.params, self.state, jnp.int32(max_steps)
         )
-        status.copy_to_host_async()
+        for a in status:
+            a.copy_to_host_async()
         return status
 
     def unpack_status(
         self, packed: Any
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-        """Packed int32 [3S+1] -> (active, done, n, steps)."""
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+        """Packed int32 [3S+2] -> (active, done, n, steps, finished_slot).
+
+        ``finished_slot`` is the slot whose finalize payload rode along
+        with this status (-1 if the program exited on horizon/idle instead
+        of a finish event)."""
         arr = np.asarray(packed)
         S = self.num_slots
         return (
@@ -611,6 +636,7 @@ class StepwiseBeamEngine:
             arr[S : 2 * S] != 0,
             arr[2 * S : 3 * S],
             int(arr[3 * S]),
+            int(arr[3 * S + 1]),
         )
 
     def admit_batch_tokens(

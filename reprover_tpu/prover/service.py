@@ -444,17 +444,28 @@ class StreamingInferenceService(InferenceService):
                                 GenerateResponse(req.req_id, [], error=repr(ex))
                             )
                     elif kind == "status":
-                        psq, (arr,) = payload
+                        psq, (arr, ints, toks, scores) = payload
                         in_flight -= 1
-                        _, done_d, n_d, steps = eng.unpack_status(arr)
+                        _, done_d, n_d, steps, f = eng.unpack_status(arr)
                         self.stats["steps"] += steps
                         for s in range(S):
-                            if (
+                            if not (
                                 occupied[s]
                                 and s not in awaiting_fin
                                 and psq >= barrier[s]
                                 and (done_d[s] or n_d[s] >= T)
                             ):
+                                continue
+                            if s == f:
+                                # The finish event's finalize payload rode
+                                # along with this status — respond now,
+                                # zero extra round trips.
+                                self._emit(s, (ints, toks, scores))
+                                occupied[s] = False
+                            else:
+                                # Simultaneous multi-finish (or a finish
+                                # first seen via a later status): fall back
+                                # to the gather dispatch.
                                 awaiting_fin.add(s)
                                 fin_q.put((s, eng.prefetch_finalize(s)))
                     else:  # "fin" — host copies landed, respond + free
@@ -504,7 +515,7 @@ class StreamingInferenceService(InferenceService):
                         if slot_free
                         else self.chunk_size * self.chunk_burst
                     )
-                    status_q.put((seq, (eng.dispatch_run(horizon),)))
+                    status_q.put((seq, eng.dispatch_run(horizon)))
                     seq += 1
                     in_flight += 1
                     self.stats["chunks"] += 1
