@@ -414,26 +414,28 @@ class StepwiseBeamEngine:
             # ``prefetch_finalize`` host-side.
             fin_new = _finished(out) & ~fin0
             f = jnp.where(fin_new.any(), jnp.argmax(fin_new), -1)
-            packed = jnp.concatenate(
+            g = jnp.maximum(f, 0)
+            scores = jnp.concatenate([out.fin_scores[g], out.beam_scores[g]])
+            # EVERYTHING in one flat int32 vector (scores bitcast): each
+            # separate D2H pays the transport's ~40 ms latency floor, so
+            # one fetch per dispatch, not four.
+            flat = jnp.concatenate(
                 [
                     out.active.astype(jnp.int32),
                     out.done.astype(jnp.int32),
                     out.n,
                     steps[None],
                     f[None],
-                ]
-            )
-            g = jnp.maximum(f, 0)
-            ints = jnp.concatenate(
-                [
                     out.n[g][None],
                     out.done[g].astype(jnp.int32)[None],
                     out.fin_lens[g],
+                    jnp.concatenate(
+                        [out.fin_tokens[g], out.tokens[g]], axis=0
+                    ).reshape(-1),
+                    jax.lax.bitcast_convert_type(scores, jnp.int32),
                 ]
             )
-            toks = jnp.concatenate([out.fin_tokens[g], out.tokens[g]], axis=0)
-            scores = jnp.concatenate([out.fin_scores[g], out.beam_scores[g]])
-            return out, (packed, ints, toks, scores)
+            return out, flat
 
         @partial(jax.jit, donate_argnums=(1,))
         def admit_fn(
@@ -608,35 +610,42 @@ class StepwiseBeamEngine:
             self.max_src_len, self.max_decode_len,
         )
 
-    def dispatch_run(self, max_steps: int) -> Tuple[jnp.ndarray, ...]:
-        """Dispatch one run-until-event program (async) and return the
-        device status vector plus the finish-event finalize payload
-        (ints, toks, scores), all with host copies already in flight —
-        the serving loop retires them a dispatch later, overlapping the
-        round trip with the next program's compute."""
+    def dispatch_run(self, max_steps: int) -> jnp.ndarray:
+        """Dispatch one run-until-event program (async) and return the flat
+        device status+payload vector (see ``unpack_status``) with its host
+        copy already in flight — the serving loop retires it a dispatch
+        later, overlapping the round trip with the next program's compute."""
         self.state, status = self._chunk_fn(
             self.params, self.state, jnp.int32(max_steps)
         )
-        for a in status:
-            a.copy_to_host_async()
+        status.copy_to_host_async()
         return status
 
     def unpack_status(
         self, packed: Any
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
-        """Packed int32 [3S+2] -> (active, done, n, steps, finished_slot).
+    ) -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray, int, int, Tuple[Any, Any, Any]
+    ]:
+        """Flat int32 vector -> (active, done, n, steps, finished_slot,
+        finalize_handle).
 
         ``finished_slot`` is the slot whose finalize payload rode along
         with this status (-1 if the program exited on horizon/idle instead
-        of a finish event)."""
+        of a finish event); ``finalize_handle`` is its (ints, toks, scores)
+        payload in ``finalize_prefetched`` layout."""
         arr = np.asarray(packed)
-        S = self.num_slots
+        S, K, T = self.num_slots, self.num_beams, self.max_decode_len
+        p = 3 * S + 2
+        ints = arr[p : p + K + 2]
+        toks = arr[p + K + 2 : p + K + 2 + 2 * K * T].reshape(2 * K, T)
+        scores = arr[p + K + 2 + 2 * K * T :].view(np.float32)
         return (
             arr[:S] != 0,
             arr[S : 2 * S] != 0,
             arr[2 * S : 3 * S],
             int(arr[3 * S]),
             int(arr[3 * S + 1]),
+            (ints, toks, scores),
         )
 
     def admit_batch_tokens(

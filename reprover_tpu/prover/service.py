@@ -444,9 +444,11 @@ class StreamingInferenceService(InferenceService):
                                 GenerateResponse(req.req_id, [], error=repr(ex))
                             )
                     elif kind == "status":
-                        psq, (arr, ints, toks, scores) = payload
+                        psq, (arr,) = payload
                         in_flight -= 1
-                        _, done_d, n_d, steps, f = eng.unpack_status(arr)
+                        _, done_d, n_d, steps, f, fin_handle = (
+                            eng.unpack_status(arr)
+                        )
                         self.stats["steps"] += steps
                         for s in range(S):
                             if not (
@@ -460,7 +462,7 @@ class StreamingInferenceService(InferenceService):
                                 # The finish event's finalize payload rode
                                 # along with this status — respond now,
                                 # zero extra round trips.
-                                self._emit(s, (ints, toks, scores))
+                                self._emit(s, fin_handle)
                                 occupied[s] = False
                             else:
                                 # Simultaneous multi-finish (or a finish
@@ -515,7 +517,7 @@ class StreamingInferenceService(InferenceService):
                         if slot_free
                         else self.chunk_size * self.chunk_burst
                     )
-                    status_q.put((seq, eng.dispatch_run(horizon)))
+                    status_q.put((seq, (eng.dispatch_run(horizon),)))
                     seq += 1
                     in_flight += 1
                     self.stats["chunks"] += 1
