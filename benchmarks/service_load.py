@@ -124,6 +124,11 @@ def run_cell(
         service.stop()
     done = [r for r in results if r is not None]
     expansions = sum(r.num_searched_nodes for r in done)
+    stats = service.stats_snapshot()
+    # Serving window = first request seen -> last response sent. The raw
+    # wall includes spawning the worker processes (heavy imports), which
+    # is startup, not serving.
+    window = stats.pop("last_resp_ts", wall) - stats.pop("first_req_ts", 0.0)
     log(
         mode="streaming" if streaming else "coalescing",
         slots=num_slots if streaming else None,
@@ -135,8 +140,10 @@ def run_cell(
         expansions=expansions,
         wall_s=round(wall, 1),
         expansions_per_s=round(expansions / wall, 2),
+        serve_window_s=round(window, 1),
+        expansions_per_s_serving=round(expansions / max(window, 1e-9), 2),
         stats={k: round(v, 3) if isinstance(v, float) else v
-               for k, v in service.stats_snapshot().items()},
+               for k, v in stats.items()},
     )
 
 

@@ -167,6 +167,7 @@ class InferenceService:
 
     def _serve_group(self, group: List[GenerateRequest], num_samples: int) -> None:
         t0 = time.monotonic()
+        self.stats.setdefault("first_req_ts", t0)
         states = [r.state for r in group]
         if self.retriever is not None:
             states = self._augment(group)
@@ -178,6 +179,7 @@ class InferenceService:
         candidates = self.generator.generate(padded, num_samples)
 
         self.stats["requests"] += len(group)
+        self.stats["last_resp_ts"] = time.monotonic()
         self.stats["batches"] += 1
         self.stats["batched_requests"] += len(group)
         self.stats["device_time"] += time.monotonic() - t0
@@ -320,6 +322,7 @@ class StreamingInferenceService(InferenceService):
         ]
         self._response_qs[req.client_id].put(GenerateResponse(req.req_id, cands))
         self.stats["requests"] += 1
+        self.stats["last_resp_ts"] = time.monotonic()
 
     def _serve(self) -> None:
         """Crash containment around the serving loop: an unexpected error
@@ -433,6 +436,9 @@ class StreamingInferenceService(InferenceService):
                 for kind, *payload in batch:
                     if kind == "req":
                         (req,) = payload
+                        self.stats.setdefault(
+                            "first_req_ts", time.monotonic()
+                        )
                         try:
                             if req.num_samples != self.num_beams:
                                 self.stats["fallbacks"] += 1
