@@ -178,9 +178,9 @@ def main():
         else ((1, 8, 5.0), (4, 8, 5.0), (8, 8, 5.0), (8, 16, 15.0), (16, 16, 15.0))
     )
     streaming_cells = (
-        ((16, 8, 8),) * 2
+        ((16, 16, 8),) * 2
         if quick
-        else ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 8, 16))
+        else ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 16, 8), (16, 8, 16))
     )
     if streaming_only:
         coalescing_cells = ()
