@@ -152,6 +152,81 @@ def test_admit_batch_tokens_wave(setup):
     assert 3 not in results  # the padding row never occupied slot 3
 
 
+def test_simultaneous_finish_fallback(setup):
+    """Two slots decoding the same input finish on the same step: one
+    finish rides the status payload, the other must come back through the
+    prefetch-fallback path — both classic-exact."""
+    import asyncio
+
+    from reprover_tpu.data import Pos
+    from reprover_tpu.prover import StreamingInferenceService
+
+    params, model, texts, classic = setup
+    svc = StreamingInferenceService(
+        model, num_slots=2, num_beams=K, chunk_size=3
+    )
+    svc.start()
+    try:
+        clients = [svc.client() for _ in range(2)]
+
+        async def go():
+            return await asyncio.gather(
+                *(
+                    c.agenerate(texts[0], "a.lean", "t", Pos(1, 1), K)
+                    for c in clients
+                )
+            )
+
+        r0, r1 = asyncio.run(go())
+    finally:
+        svc.stop()
+    _assert_same(r0, classic[texts[0]])
+    _assert_same(r1, classic[texts[0]])
+
+
+def test_streaming_service_crash_containment(setup):
+    """An engine fault mid-serve fails the outstanding request with an
+    error (instead of hanging its client) and the service keeps serving
+    subsequent requests after the reset."""
+    import asyncio
+
+    from reprover_tpu.data import Pos
+    from reprover_tpu.prover import StreamingInferenceService
+
+    params, model, texts, classic = setup
+    svc = StreamingInferenceService(
+        model, num_slots=2, num_beams=K, chunk_size=3
+    )
+    svc.start()
+    try:
+        client = svc.client()
+
+        async def one(text):
+            return await client.agenerate(text, "a.lean", "t", Pos(1, 1), K)
+
+        # Sabotage the engine: the next dispatch_run raises.
+        import time as _time
+
+        _time.sleep(0.2)  # let the serve thread build the engine
+        real = svc._engine.dispatch_run
+        calls = {"n": 0}
+
+        def boom(max_steps):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected engine fault")
+            return real(max_steps)
+
+        svc._engine.dispatch_run = boom
+        with pytest.raises(RuntimeError, match="injected engine fault"):
+            asyncio.run(one(texts[0]))
+        # Service survived: the same client is served correctly afterward.
+        r = asyncio.run(one(texts[1]))
+    finally:
+        svc.stop()
+    _assert_same(r, classic[texts[1]])
+
+
 def test_streaming_service_matches_classic(setup):
     """StreamingInferenceService candidates == classic generate, including a
     mismatched-width request served through the fallback path."""
