@@ -388,8 +388,17 @@ class StepwiseBeamEngine:
         # compiled program serves every horizon.
         @partial(jax.jit, donate_argnums=(1,))
         def chunk_fn(
-            params, state: EngineState, max_steps: jnp.ndarray
+            params, state: EngineState, max_steps: jnp.ndarray,
+            release: jnp.ndarray,
         ) -> Tuple[EngineState, Tuple[jnp.ndarray, ...]]:
+            # Slots whose results were emitted via a ride-along payload are
+            # released here, at the start of the next program — the device
+            # state stays truthful without a dedicated free dispatch.
+            state = dataclasses.replace(
+                state,
+                active=state.active & ~release,
+                done=state.done & ~release,
+            )
             fin0 = _finished(state)
 
             def cond(carry):
@@ -610,13 +619,25 @@ class StepwiseBeamEngine:
             self.max_src_len, self.max_decode_len,
         )
 
-    def dispatch_run(self, max_steps: int) -> jnp.ndarray:
+    def dispatch_run(
+        self, max_steps: int, release: Optional[np.ndarray] = None
+    ) -> jnp.ndarray:
         """Dispatch one run-until-event program (async) and return the flat
         device status+payload vector (see ``unpack_status``) with its host
         copy already in flight — the serving loop retires it a dispatch
-        later, overlapping the round trip with the next program's compute."""
+        later, overlapping the round trip with the next program's compute.
+
+        ``release`` marks slots whose results were already emitted from a
+        ride-along payload; the program clears their active/done flags
+        before stepping (so engine accessors are truthful after the next
+        dispatch, with no dedicated free dispatch)."""
+        if release is None:
+            release = np.zeros((self.num_slots,), bool)
+        # np arrays, not jnp: an eager device_put blocks until the copy
+        # lands (behind any queued compute); the jit call enqueues host
+        # args asynchronously.
         self.state, status = self._chunk_fn(
-            self.params, self.state, jnp.int32(max_steps)
+            self.params, self.state, np.int32(max_steps), release
         )
         status.copy_to_host_async()
         return status
@@ -722,7 +743,7 @@ class StepwiseBeamEngine:
         calls this the moment a status shows the slot finished, so the
         copies ride along with the next dispatch's compute."""
         ints, toks, scores, self.state = self._finalize_fn(
-            self.state, jnp.int32(slot)
+            self.state, np.int32(slot)
         )
         for a in (ints, toks, scores):
             a.copy_to_host_async()
@@ -753,13 +774,16 @@ class StepwiseBeamEngine:
                 fin_scores, fin_tokens, fin_lens
             )
         else:
-            run_scores = np.asarray(
-                _norm_scores(
-                    jnp.asarray(beam_scores),
-                    jnp.full((K,), n - 1, jnp.float32),
-                    self.length_penalty,
-                )
-            )
+            # Host-side numpy (same math as _norm_scores): a jnp round trip
+            # here would block the serving loop on the device per emit.
+            lp = self.length_penalty
+            if lp == 0.0:
+                run_scores = beam_scores
+            else:
+                run_scores = (
+                    beam_scores
+                    / np.float32(max(float(n - 1), 1.0)) ** np.float32(lp)
+                ).astype(np.float32)
             merged_scores = np.concatenate([fin_scores, run_scores])
             merged_tokens = np.concatenate([fin_tokens, np.asarray(tokens)])
             merged_lens = np.concatenate(

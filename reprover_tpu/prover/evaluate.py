@@ -215,7 +215,7 @@ def main() -> None:
     parser.add_argument(
         "--pipeline-depth",
         type=int,
-        default=2,
+        default=4,
         help="device programs in flight ahead of status retirement for "
         "--streaming (hides the host round trip)",
     )

@@ -256,7 +256,6 @@ class StreamingInferenceService(InferenceService):
                 "fallbacks": 0,
                 "loops": 0,
                 "status_time": 0.0,
-                "drain_time": 0.0,
                 "admit_time": 0.0,
                 "admit_tok_time": 0.0,
                 "admit_dispatch_time": 0.0,
@@ -265,8 +264,6 @@ class StreamingInferenceService(InferenceService):
         )
 
     def _build_engine(self) -> Any:
-        import jax.numpy as jnp
-
         from reprover_tpu.generation.engine import StepwiseBeamEngine
         from reprover_tpu.tokenizer import round_to_bucket
 
@@ -284,7 +281,6 @@ class StreamingInferenceService(InferenceService):
             length_penalty=gen.length_penalty,
             chunk_size=self.chunk_size,
         )
-        self._jnp = jnp
 
     def _admit_wave(self, slots: List[int], states: List[str]) -> None:
         """Tokenize an arrival wave padded to the engine's source bucket and
@@ -393,7 +389,14 @@ class StreamingInferenceService(InferenceService):
                 except _q.Empty:
                     continue
                 t0 = time.monotonic()
-                host = tuple(np.asarray(a) for a in handles)
+                try:
+                    host = tuple(np.asarray(a) for a in handles)
+                except Exception as ex:  # device/transfer faults surface
+                    # at the consuming fetch — forward to the serve thread
+                    # so its crash containment runs instead of this thread
+                    # dying silently and wedging the pipeline.
+                    events.put(("error", key, ex))
+                    continue
                 self.stats[stat] += time.monotonic() - t0
                 events.put((kind, key, host))
 
@@ -415,6 +418,10 @@ class StreamingInferenceService(InferenceService):
         # consulted for *finish* events.
         occupied = np.zeros(S, dtype=bool)
         awaiting_fin = set()  # slots freed on device, response not yet sent
+        # Slots emitted from a ride-along payload, not yet cleared on
+        # device — the next dispatch carries this mask so the device state
+        # stays truthful without a dedicated free dispatch.
+        pending_release = np.zeros(S, dtype=bool)
         barrier = [0] * S  # first dispatch seq that can see this admission
         in_flight = 0  # statuses dispatched, not yet back through events
         seq = 0
@@ -433,7 +440,14 @@ class StreamingInferenceService(InferenceService):
                 except _q.Empty:
                     pass
 
+                fault: Optional[BaseException] = None
                 for kind, *payload in batch:
+                    if kind == "error":
+                        # Reaper-forwarded device fault: raise AFTER the
+                        # batch so sibling "req" events land in the backlog
+                        # (crash containment preserves it).
+                        fault = payload[1]
+                        continue
                     if kind == "req":
                         (req,) = payload
                         self.stats.setdefault(
@@ -470,6 +484,7 @@ class StreamingInferenceService(InferenceService):
                                 # zero extra round trips.
                                 self._emit(s, fin_handle)
                                 occupied[s] = False
+                                pending_release[s] = True
                             else:
                                 # Simultaneous multi-finish (or a finish
                                 # first seen via a later status): fall back
@@ -481,6 +496,9 @@ class StreamingInferenceService(InferenceService):
                         self._emit(slot, host)
                         occupied[slot] = False
                         awaiting_fin.discard(slot)
+
+                if fault is not None:
+                    raise fault
 
                 # 2. Admit a wave into free slots (one fused dispatch).
                 free = [s for s in range(S) if not occupied[s]]
@@ -499,6 +517,9 @@ class StreamingInferenceService(InferenceService):
                         for req, slot in zip(admissible, slots):
                             self._slot_req[slot] = req
                             occupied[slot] = True
+                            # The admit dispatch re-arms the slot; a later
+                            # release would wipe the fresh admission.
+                            pending_release[slot] = False
                             barrier[slot] = seq
                             self.stats["admissions"] += 1
                     except Exception as ex:
@@ -523,7 +544,13 @@ class StreamingInferenceService(InferenceService):
                         if slot_free
                         else self.chunk_size * self.chunk_burst
                     )
-                    status_q.put((seq, (eng.dispatch_run(horizon),)))
+                    status_q.put(
+                        (
+                            seq,
+                            (eng.dispatch_run(horizon, pending_release),),
+                        )
+                    )
+                    pending_release = np.zeros(S, dtype=bool)
                     seq += 1
                     in_flight += 1
                     self.stats["chunks"] += 1

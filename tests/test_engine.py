@@ -155,33 +155,29 @@ def test_admit_batch_tokens_wave(setup):
 def test_simultaneous_finish_fallback(setup):
     """Two slots decoding the same input finish on the same step: one
     finish rides the status payload, the other must come back through the
-    prefetch-fallback path — both classic-exact."""
-    import asyncio
-
-    from reprover_tpu.data import Pos
+    prefetch-fallback path — both classic-exact. Both requests are queued
+    BEFORE the serve thread starts, so they are admitted in one wave and
+    the simultaneous finish is deterministic."""
     from reprover_tpu.prover import StreamingInferenceService
+    from reprover_tpu.prover.service import GenerateRequest
 
     params, model, texts, classic = setup
     svc = StreamingInferenceService(
         model, num_slots=2, num_beams=K, chunk_size=3
     )
+    clients = [svc.client() for _ in range(2)]
+    for c in clients:
+        c.request_q.put(
+            GenerateRequest(c.client_id, 0, texts[0], "a.lean", "t", (1, 1), K)
+        )
     svc.start()
     try:
-        clients = [svc.client() for _ in range(2)]
-
-        async def go():
-            return await asyncio.gather(
-                *(
-                    c.agenerate(texts[0], "a.lean", "t", Pos(1, 1), K)
-                    for c in clients
-                )
-            )
-
-        r0, r1 = asyncio.run(go())
+        r0, r1 = (c.response_q.get(timeout=120) for c in clients)
     finally:
         svc.stop()
-    _assert_same(r0, classic[texts[0]])
-    _assert_same(r1, classic[texts[0]])
+    assert r0.error is None and r1.error is None
+    _assert_same(r0.candidates, classic[texts[0]])
+    _assert_same(r1.candidates, classic[texts[0]])
 
 
 def test_streaming_service_crash_containment(setup):
@@ -207,15 +203,17 @@ def test_streaming_service_crash_containment(setup):
         # Sabotage the engine: the next dispatch_run raises.
         import time as _time
 
-        _time.sleep(0.2)  # let the serve thread build the engine
+        deadline = _time.monotonic() + 60
+        while svc._engine is None and _time.monotonic() < deadline:
+            _time.sleep(0.05)  # serve thread builds the engine lazily
         real = svc._engine.dispatch_run
         calls = {"n": 0}
 
-        def boom(max_steps):
+        def boom(max_steps, release=None):
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("injected engine fault")
-            return real(max_steps)
+            return real(max_steps, release)
 
         svc._engine.dispatch_run = boom
         with pytest.raises(RuntimeError, match="injected engine fault"):
