@@ -152,6 +152,46 @@ def test_admit_batch_tokens_wave(setup):
     assert 3 not in results  # the padding row never occupied slot 3
 
 
+def test_dispatch_run_status_and_release(setup):
+    """The flat status wire format: run-until-event stops on the finish
+    event, flags the finished slot, and carries a finalize payload equal to
+    the classic result; a release mask in the next dispatch clears the
+    slot on device."""
+    import numpy as np
+
+    params, model, texts, classic = setup
+    engine = StepwiseBeamEngine(
+        params, CFG, num_slots=2, num_beams=K,
+        max_src_len=SMAX, max_decode_len=TDEC, chunk_size=3,
+    )
+    _admit_text(engine, model, 0, texts[0])
+    f = -1
+    for _ in range(64):
+        status = engine.dispatch_run(4)
+        active, done, n, steps, f, payload = engine.unpack_status(status)
+        assert steps <= 4
+        if f >= 0:
+            break
+    assert f == 0 and (done[0] or n[0] >= TDEC)
+    seqs, scores, _ = engine.finalize_prefetched(0, payload)
+    got = [
+        (model.tokenizer.decode(seqs[k], skip_special_tokens=True),
+         float(scores[k]))
+        for k in range(K)
+    ]
+    _assert_same(got, classic[texts[0]])
+
+    # Device still shows the slot finished until the release rides along.
+    active, done, n = engine.host_status()
+    assert active[0]
+    release = np.zeros(2, bool)
+    release[0] = True
+    status = engine.dispatch_run(1, release)
+    engine.unpack_status(status)
+    active, done, n = engine.host_status()
+    assert not active[0] and not done[0]
+
+
 def test_simultaneous_finish_fallback(setup):
     """Two slots decoding the same input finish on the same step: one
     finish rides the status payload, the other must come back through the
