@@ -156,6 +156,67 @@ class CausalTacticGeneratorModel:
             mask[i, width - len(row) :] = 1
         return jnp.asarray(ids), jnp.asarray(mask)
 
+    # -------------------------------------------------------------- #
+    # Streaming-engine integration (model-agnostic serving loop)
+    # -------------------------------------------------------------- #
+
+    def make_stepwise_engine(
+        self, num_slots: int, num_beams: int, chunk_size: int = 8
+    ) -> Any:
+        """Build the continuous-batching engine for this model family."""
+        from reprover_tpu.generation.causal_engine import CausalStepwiseEngine
+
+        return CausalStepwiseEngine(
+            self.params,
+            self.cfg,
+            num_slots=num_slots,
+            num_beams=num_beams,
+            max_src_len=self.max_inp_seq_len,
+            # +1: like the classic path's ``max_new + 1``, the decode length
+            # counts the start token (the prompt's last real token).
+            max_decode_len=self.max_oup_seq_len + 1,
+            length_penalty=self.length_penalty,
+            chunk_size=chunk_size,
+        )
+
+    def tokenize_for_engine(
+        self, states: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Template + LEFT-pad every admission row to exactly
+        ``max_inp_seq_len`` (the engine's fixed prompt bucket), keeping the
+        prompt TAIL on truncation like ``_tokenize``."""
+        prompts = [self.template % s for s in states]
+        tok = self.tokenizer
+        encoded = [
+            tok(p, add_special_tokens=True)["input_ids"] for p in prompts
+        ]
+        width = self.max_inp_seq_len
+        pad_id = self.cfg.pad_token_id
+        ids = np.full((len(encoded), width), pad_id, np.int32)
+        mask = np.zeros((len(encoded), width), np.int32)
+        for i, row in enumerate(encoded):
+            row = row[-width:]
+            ids[i, width - len(row):] = row
+            mask[i, width - len(row):] = 1
+        return ids, mask
+
+    def decode_candidates(
+        self, seqs: np.ndarray, scores: np.ndarray, lens: np.ndarray
+    ) -> List[Tuple[str, float]]:
+        """Finalized engine beams -> (text, score), matching ``generate``:
+        skip column 0 (the prompt's last token), strip eos/pad."""
+        out = []
+        for k in range(len(scores)):
+            toks = seqs[k, 1 : lens[k]].tolist()
+            toks = [
+                t
+                for t in toks
+                if t not in (self.cfg.eos_token_id, self.cfg.pad_token_id)
+            ]
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            out.append((text.strip(), float(scores[k])))
+        return out
+
     def generate(
         self,
         states: Sequence[str],

@@ -247,20 +247,25 @@ def _norm_scores(
     )
 
 
-def engine_step(
-    params: Params, cfg: T5Config, state: EngineState, length_penalty: float
-) -> EngineState:
-    """Advance every active, unfinished slot by one token.
+def advance_beams(
+    state: Any,
+    logits: jnp.ndarray,
+    length_penalty: float,
+    eos_id: int,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """Model-agnostic beam-search advance over all slots.
 
     Identical math to ``beam_search``'s loop body
     (`generation/beam_search.py:114-194`) with the scalar position ``n``
-    vectorized to per-slot.
+    vectorized to per-slot. ``state`` is any pytree with the beam fields
+    (n, tokens, last_token, beam_scores, fin_*, done, active).
+
+    Returns (updated beam fields incl. freezing, cont_parent [S, K] for the
+    caller's per-beam cache reorder, frozen [S]).
     """
     S, K, T = state.tokens.shape
-    eos_id, pad_id = cfg.eos_token_id, cfg.pad_token_id
     n = state.n  # [S]
 
-    logits, state = _engine_decode_step(params, cfg, state)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     V = logp.shape[-1]
 
@@ -305,28 +310,16 @@ def engine_step(
     worst_fin = fin_scores[:, K - 1]
     newly_done = (num_fin >= K) & (worst_fin >= best_attainable)
 
-    # Reorder per-beam caches to follow parents (per slot).
-    def reorder(cache):  # [Ld,S,K,H,T,d]
-        return jnp.take_along_axis(
-            cache, cont_parent[None, :, :, None, None, None], axis=2
-        )
-
-    new_self_k = reorder(state.self_k)
-    new_self_v = reorder(state.self_v)
-
     # Freeze finished, vacant, and length-capped slots (the classic loop's
     # ``n < T`` condition — chunked stepping would otherwise overshoot).
     frozen = state.done | ~state.active | (n >= T)  # [S]
 
-    def keep_old(old, new, batch_axis=0):
+    def keep_old(old, new):
         shape = [1] * new.ndim
-        shape[batch_axis] = S
+        shape[0] = S
         return jnp.where(frozen.reshape(shape), old, new)
 
-    return dataclasses.replace(
-        state,
-        self_k=keep_old(state.self_k, new_self_k, batch_axis=1),
-        self_v=keep_old(state.self_v, new_self_v, batch_axis=1),
+    updates = dict(
         n=jnp.where(frozen, n, n + 1),
         tokens=keep_old(state.tokens, new_tokens),
         last_token=keep_old(state.last_token, cont_token),
@@ -336,6 +329,38 @@ def engine_step(
         fin_lens=keep_old(state.fin_lens, fin_lens),
         done=state.done | (state.active & newly_done),
     )
+    return updates, cont_parent, frozen
+
+
+def reorder_frozen_aware(
+    cache: jnp.ndarray, cont_parent: jnp.ndarray, frozen: jnp.ndarray
+) -> jnp.ndarray:
+    """Reorder a per-beam cache [L, S, K, ...] to follow beam parents,
+    keeping frozen slots' rows untouched."""
+    S = frozen.shape[0]
+    idx = cont_parent.reshape(
+        (1, S) + cont_parent.shape[1:2] + (1,) * (cache.ndim - 3)
+    )
+    new = jnp.take_along_axis(cache, idx, axis=2)
+    shape = [1] * cache.ndim
+    shape[1] = S
+    return jnp.where(frozen.reshape(shape), cache, new)
+
+
+def engine_step(
+    params: Params, cfg: T5Config, state: EngineState, length_penalty: float
+) -> EngineState:
+    """Advance every active, unfinished slot by one token."""
+    logits, state = _engine_decode_step(params, cfg, state)
+    updates, cont_parent, frozen = advance_beams(
+        state, logits, length_penalty, cfg.eos_token_id
+    )
+    return dataclasses.replace(
+        state,
+        self_k=reorder_frozen_aware(state.self_k, cont_parent, frozen),
+        self_v=reorder_frozen_aware(state.self_v, cont_parent, frozen),
+        **updates,
+    )
 
 
 # ------------------------------------------------------------------ #
@@ -343,13 +368,19 @@ def engine_step(
 # ------------------------------------------------------------------ #
 
 
-class StepwiseBeamEngine:
-    """Continuous-batching beam-search engine over ``num_slots`` slots."""
+class StepwiseEngineBase:
+    """Shared slot/beam machinery for continuous-batching engines.
+
+    Owns the run-until-event / admission / finalize device programs and the
+    asynchronous host API; subclasses provide the model-specific decode
+    step (``_step_program``), wave-admission program (``_admit_program``),
+    and blank state (``_init_state``) — every model family whose decode is
+    "feed last token, get logits" plugs into the same serving loop.
+    """
 
     def __init__(
         self,
         params: Params,
-        cfg: T5Config,
         num_slots: int,
         num_beams: int,
         max_src_len: int,
@@ -358,21 +389,38 @@ class StepwiseBeamEngine:
         chunk_size: int = 8,
     ) -> None:
         self.params = params
-        self.cfg = cfg
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.max_src_len = max_src_len
         self.max_decode_len = max_decode_len
         self.length_penalty = length_penalty
         self.chunk_size = chunk_size
-        self.state = init_engine_state(
-            params, cfg, num_slots, num_beams, max_src_len, max_decode_len
-        )
+        self.state = self._init_state()
+        self._build_programs()
 
-        lp = length_penalty
-        T = max_decode_len
+    # -- subclass hooks ------------------------------------------------ #
 
-        def _finished(s: EngineState) -> jnp.ndarray:
+    def _init_state(self) -> Any:
+        raise NotImplementedError
+
+    def _step_program(self, params: Params, state: Any) -> Any:
+        """One decode+beam step over all slots (pure; traced under jit)."""
+        raise NotImplementedError
+
+    def _admit_program(
+        self, params: Params, state: Any, slots: Any, ids: Any, mask: Any
+    ) -> Any:
+        """Install a tokenized arrival wave (pure; traced under jit)."""
+        raise NotImplementedError
+
+    # -- device programs ----------------------------------------------- #
+
+    def _build_programs(self) -> None:
+        T = self.max_decode_len
+        step = self._step_program
+        admit = self._admit_program
+
+        def _finished(s: Any) -> jnp.ndarray:
             return s.active & (s.done | (s.n >= T))
 
         # Donate the engine state: at serving shapes the KV caches are
@@ -388,9 +436,9 @@ class StepwiseBeamEngine:
         # compiled program serves every horizon.
         @partial(jax.jit, donate_argnums=(1,))
         def chunk_fn(
-            params, state: EngineState, max_steps: jnp.ndarray,
+            params, state: Any, max_steps: jnp.ndarray,
             release: jnp.ndarray,
-        ) -> Tuple[EngineState, Tuple[jnp.ndarray, ...]]:
+        ) -> Tuple[Any, jnp.ndarray]:
             # Slots whose results were emitted via a ride-along payload are
             # released here, at the start of the next program — the device
             # state stays truthful without a dedicated free dispatch.
@@ -409,7 +457,7 @@ class StepwiseBeamEngine:
 
             def body(carry):
                 s, i = carry
-                return engine_step(params, cfg, s, lp), i + 1
+                return step(params, s), i + 1
 
             out, steps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
             # ONE packed int32 status vector [3S+2]: a single host copy per
@@ -447,133 +495,10 @@ class StepwiseBeamEngine:
             return out, flat
 
         @partial(jax.jit, donate_argnums=(1,))
-        def admit_fn(
-            params, state: EngineState, slot, enc_hidden, enc_mask
-        ) -> EngineState:
-            """Install one encoded request into ``slot`` (traced index)."""
-            dt = cfg.compute_dtype
-            H, d = cfg.num_heads, cfg.d_kv
+        def admit_tokens_fn(params, state: Any, slots, ids, mask) -> Any:
+            return admit(params, state, slots, ids, mask)
 
-            def per_layer_cross(lp_):
-                k = _split_heads(
-                    _dense(enc_hidden.astype(dt), lp_["cross_attn"]["k"], dt), H, d
-                )  # [1,H,Smax,d]
-                v = _split_heads(
-                    _dense(enc_hidden.astype(dt), lp_["cross_attn"]["v"], dt), H, d
-                )
-                return k, v
-
-            ck, cv = jax.vmap(per_layer_cross)(params["decoder"]["layers"])
-            # ck: [Ld,1,H,Smax,d] -> write at slot
-            upd = lambda full, new: jax.lax.dynamic_update_slice(
-                full, new, (0, slot, 0, 0, 0)
-            )
-            S, K, T = state.tokens.shape
-            oh = jax.nn.one_hot(slot, S, dtype=jnp.float32)
-
-            def reset(x, value):
-                m = oh.reshape((S,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-                return x * (1 - m) + jnp.asarray(value, x.dtype) * m
-
-            beam0 = jnp.asarray([0.0] + [float(NEG_INF)] * (K - 1), jnp.float32)
-            new = dataclasses.replace(
-                state,
-                cross_k=upd(state.cross_k, ck),
-                cross_v=upd(state.cross_v, cv),
-                cross_bias=jax.lax.dynamic_update_slice(
-                    state.cross_bias,
-                    jnp.where(enc_mask.astype(bool), 0.0, -1e10).astype(jnp.float32)[None, None],
-                    (slot, 0, 0, 0),
-                ),
-                n=jnp.where(oh.astype(bool), 1, state.n),
-                tokens=reset(state.tokens, cfg.pad_token_id),
-                last_token=reset(state.last_token, cfg.decoder_start_token_id),
-                beam_scores=jnp.where(
-                    oh[:, None].astype(bool),
-                    beam0[None, :],
-                    state.beam_scores,
-                ),
-                fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
-                fin_scores=reset(state.fin_scores, float(NEG_INF)),
-                fin_lens=reset(state.fin_lens, 0),
-                done=jnp.where(oh.astype(bool), False, state.done),
-                active=jnp.where(oh.astype(bool), True, state.active),
-            )
-            return new
-
-        S_, K_ = num_slots, num_beams
-
-        # Whole-arrival-batch admission in ONE program: T5-encode the token
-        # batch, project cross K/V, and scatter every arrival into its slot
-        # via a one-hot mixing matrix. Padding rows carry slot = -1, whose
-        # one-hot row is all zeros — a natural no-op. One dispatch per
-        # arrival wave replaces (encode + 2 slices + admit) per request.
-        @partial(jax.jit, donate_argnums=(1,))
-        def admit_tokens_fn(
-            params, state: EngineState, slots, ids, mask
-        ) -> EngineState:
-            from reprover_tpu.models.t5 import encode as t5_encode
-
-            dt = cfg.compute_dtype
-            H, d = cfg.num_heads, cfg.d_kv
-            L = ids.shape[1]
-            enc = t5_encode(params, cfg, ids, mask)  # [A, L, D]
-
-            def per_layer_cross(lp_):
-                k = _split_heads(
-                    _dense(enc.astype(dt), lp_["cross_attn"]["k"], dt), H, d
-                )  # [A,H,L,d]
-                v = _split_heads(
-                    _dense(enc.astype(dt), lp_["cross_attn"]["v"], dt), H, d
-                )
-                return k, v
-
-            ck, cv = jax.vmap(per_layer_cross)(
-                params["decoder"]["layers"]
-            )  # [Ld,A,H,L,d]
-            M = jax.nn.one_hot(slots, S_, dtype=jnp.float32)  # [A,S]
-            occ = M.sum(axis=0)  # [S] 0/1 — slots receiving an arrival
-
-            def scatter_cross(old, new):  # new [Ld,A,H,L,d] -> [Ld,S,H,L,d]
-                mixed = jnp.einsum("as,lahtd->lshtd", M.astype(dt), new)
-                m = occ.reshape(1, S_, 1, 1, 1).astype(old.dtype)
-                return old * (1 - m) + mixed.astype(old.dtype) * m
-
-            bias_a = jnp.where(mask.astype(bool), 0.0, -1e10).astype(
-                jnp.float32
-            )  # [A,L]
-            bias_s = jnp.einsum("as,al->sl", M, bias_a)  # [S,L]
-            cross_bias = jnp.where(
-                occ[:, None].astype(bool),
-                bias_s,
-                state.cross_bias.reshape(S_, L),
-            ).reshape(S_, 1, 1, L)
-
-            def reset(x, value):
-                m = occ.reshape((S_,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-                return x * (1 - m) + jnp.asarray(value, x.dtype) * m
-
-            occ_b = occ.astype(bool)
-            beam0 = jnp.asarray(
-                [0.0] + [float(NEG_INF)] * (K_ - 1), jnp.float32
-            )
-            return dataclasses.replace(
-                state,
-                cross_k=scatter_cross(state.cross_k, ck),
-                cross_v=scatter_cross(state.cross_v, cv),
-                cross_bias=cross_bias,
-                n=jnp.where(occ_b, 1, state.n),
-                tokens=reset(state.tokens, cfg.pad_token_id),
-                last_token=reset(state.last_token, cfg.decoder_start_token_id),
-                beam_scores=jnp.where(
-                    occ_b[:, None], beam0[None, :], state.beam_scores
-                ),
-                fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
-                fin_scores=reset(state.fin_scores, float(NEG_INF)),
-                fin_lens=reset(state.fin_lens, 0),
-                done=jnp.where(occ_b, False, state.done),
-                active=state.active | occ_b,
-            )
+        S_ = self.num_slots
 
         # Finalize gather + slot release in ONE program: three packed
         # outputs (int vector, token matrix, score vector) start their host
@@ -581,8 +506,8 @@ class StepwiseBeamEngine:
         # in-flight run programs neither step it nor re-report its event.
         @partial(jax.jit, donate_argnums=(0,))
         def finalize_fn(
-            state: EngineState, slot
-        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, EngineState]:
+            state: Any, slot
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Any]:
             ints = jnp.concatenate(
                 [
                     state.n[slot][None],
@@ -605,7 +530,6 @@ class StepwiseBeamEngine:
             return ints, toks, scores, new
 
         self._chunk_fn = chunk_fn
-        self._admit_fn = admit_fn
         self._admit_tokens_fn = admit_tokens_fn
         self._finalize_fn = finalize_fn
 
@@ -614,10 +538,7 @@ class StepwiseBeamEngine:
     def reset(self) -> None:
         """Reinstall a blank engine state (all slots vacant). Keeps the
         compiled programs — used by the serving loop's crash containment."""
-        self.state = init_engine_state(
-            self.params, self.cfg, self.num_slots, self.num_beams,
-            self.max_src_len, self.max_decode_len,
-        )
+        self.state = self._init_state()
 
     def dispatch_run(
         self, max_steps: int, release: Optional[np.ndarray] = None
@@ -716,13 +637,6 @@ class StepwiseBeamEngine:
         active, _, _ = self.host_status()
         return bool(active.any())
 
-    def admit(self, slot: int, enc_hidden: jnp.ndarray, enc_mask: jnp.ndarray) -> None:
-        """enc_hidden [1, Smax, D] (padded), enc_mask [1, Smax]."""
-        self.state = self._admit_fn(
-            self.params, self.state, jnp.asarray(slot, jnp.int32),
-            enc_hidden, enc_mask,
-        )
-
     def run_chunk(self) -> None:
         self.dispatch_run(self.chunk_size)
 
@@ -791,3 +705,176 @@ class StepwiseBeamEngine:
             )
         keep = np.argsort(-merged_scores, kind="stable")[:K]
         return merged_tokens[keep], merged_scores[keep], merged_lens[keep]
+
+
+class StepwiseBeamEngine(StepwiseEngineBase):
+    """T5 continuous-batching beam-search engine over ``num_slots`` slots.
+
+    The encoder output enters as per-slot cross K/V (stored once per slot,
+    not per beam row — a K-fold cross-cache saving); the decoder self-KV is
+    per (slot, beam) with per-slot positions.
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        cfg: T5Config,
+        num_slots: int,
+        num_beams: int,
+        max_src_len: int,
+        max_decode_len: int,
+        length_penalty: float = 0.0,
+        chunk_size: int = 8,
+    ) -> None:
+        self.cfg = cfg
+        super().__init__(
+            params, num_slots, num_beams, max_src_len, max_decode_len,
+            length_penalty, chunk_size,
+        )
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def admit_fn(
+            params, state: EngineState, slot, enc_hidden, enc_mask
+        ) -> EngineState:
+            """Install one pre-encoded request into ``slot`` (traced)."""
+            dt = cfg.compute_dtype
+            H, d = cfg.num_heads, cfg.d_kv
+
+            def per_layer_cross(lp_):
+                k = _split_heads(
+                    _dense(enc_hidden.astype(dt), lp_["cross_attn"]["k"], dt), H, d
+                )  # [1,H,Smax,d]
+                v = _split_heads(
+                    _dense(enc_hidden.astype(dt), lp_["cross_attn"]["v"], dt), H, d
+                )
+                return k, v
+
+            ck, cv = jax.vmap(per_layer_cross)(params["decoder"]["layers"])
+            upd = lambda full, new: jax.lax.dynamic_update_slice(
+                full, new, (0, slot, 0, 0, 0)
+            )
+            S, K, T = state.tokens.shape
+            oh = jax.nn.one_hot(slot, S, dtype=jnp.float32)
+
+            def reset(x, value):
+                m = oh.reshape((S,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+                return x * (1 - m) + jnp.asarray(value, x.dtype) * m
+
+            beam0 = jnp.asarray([0.0] + [float(NEG_INF)] * (K - 1), jnp.float32)
+            return dataclasses.replace(
+                state,
+                cross_k=upd(state.cross_k, ck),
+                cross_v=upd(state.cross_v, cv),
+                cross_bias=jax.lax.dynamic_update_slice(
+                    state.cross_bias,
+                    jnp.where(enc_mask.astype(bool), 0.0, -1e10).astype(
+                        jnp.float32
+                    )[None, None],
+                    (slot, 0, 0, 0),
+                ),
+                n=jnp.where(oh.astype(bool), 1, state.n),
+                tokens=reset(state.tokens, cfg.pad_token_id),
+                last_token=reset(state.last_token, cfg.decoder_start_token_id),
+                beam_scores=jnp.where(
+                    oh[:, None].astype(bool), beam0[None, :], state.beam_scores
+                ),
+                fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
+                fin_scores=reset(state.fin_scores, float(NEG_INF)),
+                fin_lens=reset(state.fin_lens, 0),
+                done=jnp.where(oh.astype(bool), False, state.done),
+                active=jnp.where(oh.astype(bool), True, state.active),
+            )
+
+        self._admit_fn = admit_fn
+
+    # -- base hooks ---------------------------------------------------- #
+
+    def _init_state(self) -> EngineState:
+        return init_engine_state(
+            self.params, self.cfg, self.num_slots, self.num_beams,
+            self.max_src_len, self.max_decode_len,
+        )
+
+    def _step_program(self, params: Params, state: EngineState) -> EngineState:
+        return engine_step(params, self.cfg, state, self.length_penalty)
+
+    def _admit_program(
+        self, params: Params, state: EngineState, slots: Any, ids: Any, mask: Any
+    ) -> EngineState:
+        """Whole-arrival-wave admission in ONE program: T5-encode the token
+        batch, project cross K/V, and scatter every arrival into its slot
+        via a one-hot mixing matrix. Padding rows carry slot = -1, whose
+        one-hot row is all zeros — a natural no-op."""
+        from reprover_tpu.models.t5 import encode as t5_encode
+
+        cfg = self.cfg
+        S_, K_ = self.num_slots, self.num_beams
+        dt = cfg.compute_dtype
+        H, d = cfg.num_heads, cfg.d_kv
+        L = ids.shape[1]
+        enc = t5_encode(params, cfg, ids, mask)  # [A, L, D]
+
+        def per_layer_cross(lp_):
+            k = _split_heads(
+                _dense(enc.astype(dt), lp_["cross_attn"]["k"], dt), H, d
+            )  # [A,H,L,d]
+            v = _split_heads(
+                _dense(enc.astype(dt), lp_["cross_attn"]["v"], dt), H, d
+            )
+            return k, v
+
+        ck, cv = jax.vmap(per_layer_cross)(
+            params["decoder"]["layers"]
+        )  # [Ld,A,H,L,d]
+        M = jax.nn.one_hot(slots, S_, dtype=jnp.float32)  # [A,S]
+        occ = M.sum(axis=0)  # [S] 0/1 — slots receiving an arrival
+
+        def scatter_cross(old, new):  # new [Ld,A,H,L,d] -> [Ld,S,H,L,d]
+            mixed = jnp.einsum("as,lahtd->lshtd", M.astype(dt), new)
+            m = occ.reshape(1, S_, 1, 1, 1).astype(old.dtype)
+            return old * (1 - m) + mixed.astype(old.dtype) * m
+
+        bias_a = jnp.where(mask.astype(bool), 0.0, -1e10).astype(
+            jnp.float32
+        )  # [A,L]
+        bias_s = jnp.einsum("as,al->sl", M, bias_a)  # [S,L]
+        cross_bias = jnp.where(
+            occ[:, None].astype(bool),
+            bias_s,
+            state.cross_bias.reshape(S_, L),
+        ).reshape(S_, 1, 1, L)
+
+        def reset(x, value):
+            m = occ.reshape((S_,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+            return x * (1 - m) + jnp.asarray(value, x.dtype) * m
+
+        occ_b = occ.astype(bool)
+        beam0 = jnp.asarray([0.0] + [float(NEG_INF)] * (K_ - 1), jnp.float32)
+        return dataclasses.replace(
+            state,
+            cross_k=scatter_cross(state.cross_k, ck),
+            cross_v=scatter_cross(state.cross_v, cv),
+            cross_bias=cross_bias,
+            n=jnp.where(occ_b, 1, state.n),
+            tokens=reset(state.tokens, cfg.pad_token_id),
+            last_token=reset(state.last_token, cfg.decoder_start_token_id),
+            beam_scores=jnp.where(
+                occ_b[:, None], beam0[None, :], state.beam_scores
+            ),
+            fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
+            fin_scores=reset(state.fin_scores, float(NEG_INF)),
+            fin_lens=reset(state.fin_lens, 0),
+            done=jnp.where(occ_b, False, state.done),
+            active=state.active | occ_b,
+        )
+
+    # -- legacy single-request admission ------------------------------- #
+
+    def admit(
+        self, slot: int, enc_hidden: jnp.ndarray, enc_mask: jnp.ndarray
+    ) -> None:
+        """enc_hidden [1, Smax, D] (padded), enc_mask [1, Smax]."""
+        self.state = self._admit_fn(
+            self.params, self.state, jnp.asarray(slot, jnp.int32),
+            enc_hidden, enc_mask,
+        )

@@ -14,7 +14,7 @@ with continuously re-batched requests at zero Python overhead per token.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,55 @@ class TacticGeneratorModel:
                 row.append((text, float(scores[b, k])))
             out.append(row)
         return out
+
+    # -------------------------------------------------------------- #
+    # Streaming-engine integration (model-agnostic serving loop)
+    # -------------------------------------------------------------- #
+
+    def make_stepwise_engine(
+        self, num_slots: int, num_beams: int, chunk_size: int = 8
+    ) -> Any:
+        """Build the continuous-batching engine for this model family."""
+        from reprover_tpu.generation.engine import StepwiseBeamEngine
+        from reprover_tpu.tokenizer import round_to_bucket
+
+        return StepwiseBeamEngine(
+            self.params,
+            self.cfg,
+            num_slots=num_slots,
+            num_beams=num_beams,
+            max_src_len=round_to_bucket(
+                self.max_inp_seq_len, self.bucket_multiple
+            ),
+            max_decode_len=self.max_oup_seq_len,
+            length_penalty=self.length_penalty,
+            chunk_size=chunk_size,
+        )
+
+    def tokenize_for_engine(
+        self, states: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokenize an admission wave padded to the engine's source bucket."""
+        from reprover_tpu.tokenizer import round_to_bucket
+
+        batch = self.tokenizer(
+            states,
+            max_length=self.max_inp_seq_len,
+            pad_to=round_to_bucket(self.max_inp_seq_len, self.bucket_multiple),
+        )
+        return batch.input_ids, batch.attention_mask
+
+    def decode_candidates(
+        self, seqs: np.ndarray, scores: np.ndarray, lens: np.ndarray
+    ) -> List[Tuple[str, float]]:
+        """Finalized engine beams -> (text, score), matching ``generate``."""
+        return [
+            (
+                self.tokenizer.decode(seqs[k], skip_special_tokens=True),
+                float(scores[k]),
+            )
+            for k in range(len(scores))
+        ]
 
     # -------------------------------------------------------------- #
     # Training

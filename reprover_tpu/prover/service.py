@@ -264,58 +264,34 @@ class StreamingInferenceService(InferenceService):
         )
 
     def _build_engine(self) -> Any:
-        from reprover_tpu.generation.engine import StepwiseBeamEngine
-        from reprover_tpu.tokenizer import round_to_bucket
-
-        gen = self.generator
-        self._src_max = round_to_bucket(
-            gen.max_inp_seq_len, gen.bucket_multiple
-        )
-        self._engine = StepwiseBeamEngine(
-            gen.params,
-            gen.cfg,
-            num_slots=self.num_slots,
-            num_beams=self.num_beams,
-            max_src_len=self._src_max,
-            max_decode_len=gen.max_oup_seq_len,
-            length_penalty=gen.length_penalty,
-            chunk_size=self.chunk_size,
+        # Model-agnostic: the generator wrapper (T5 seq2seq OR decoder-only
+        # causal LM) builds its own engine family and owns tokenization.
+        self._engine = self.generator.make_stepwise_engine(
+            self.num_slots, self.num_beams, chunk_size=self.chunk_size
         )
 
     def _admit_wave(self, slots: List[int], states: List[str]) -> None:
         """Tokenize an arrival wave padded to the engine's source bucket and
-        admit it in ONE device dispatch (encode + cross-projection + scatter
-        fused in :meth:`StepwiseBeamEngine.admit_batch_tokens`). The batch is
-        padded to a power-of-2 bucket with slot = -1 no-op rows, so one
-        compiled program per bucket serves every arrival count."""
+        admit it in ONE device dispatch (encode/prefill + scatter fused in
+        ``admit_batch_tokens``). The batch is padded to a power-of-2 bucket
+        with slot = -1 no-op rows, so one compiled program per bucket
+        serves every arrival count."""
         gen = self.generator
         t0 = time.monotonic()
         bucket = _batch_buckets(len(states), self.num_slots)
         padded_states = states + [""] * (bucket - len(states))
         padded_slots = list(slots) + [-1] * (bucket - len(slots))
-        batch = gen.tokenizer(
-            padded_states,
-            max_length=gen.max_inp_seq_len,
-            pad_to=self._src_max,
-        )
+        ids, mask = gen.tokenize_for_engine(padded_states)
         t1 = time.monotonic()
-        self._engine.admit_batch_tokens(
-            padded_slots, batch.input_ids, batch.attention_mask
-        )
+        self._engine.admit_batch_tokens(padded_slots, ids, mask)
         t2 = time.monotonic()
         self.stats["admit_tok_time"] += t1 - t0
         self.stats["admit_dispatch_time"] += t2 - t1
 
     def _emit(self, slot: int, handle: Any) -> None:
-        seqs, scores, _ = self._engine.finalize_prefetched(slot, handle)
+        seqs, scores, lens = self._engine.finalize_prefetched(slot, handle)
         req = self._slot_req.pop(slot)
-        cands = [
-            (
-                self.generator.tokenizer.decode(seqs[k], skip_special_tokens=True),
-                float(scores[k]),
-            )
-            for k in range(self.num_beams)
-        ]
+        cands = self.generator.decode_candidates(seqs, scores, lens)
         self._response_qs[req.client_id].put(GenerateResponse(req.req_id, cands))
         self.stats["requests"] += 1
         self.stats["last_resp_ts"] = time.monotonic()
