@@ -263,14 +263,30 @@ def main() -> None:
         # the single TPU (the reference's fractional-GPU scheduling role,
         # `proof_search.py:432-448`, is a shared service here).
         from reprover_tpu.generation import TacticGeneratorModel
+        from reprover_tpu.models.hf_import_causal import is_causal_lm_checkpoint
         from reprover_tpu.prover.service import InferenceService
 
-        model = TacticGeneratorModel.load_hf(
-            args.gen_ckpt_path,
-            args.max_inp_seq_len,
-            args.max_oup_seq_len,
-            args.length_penalty,
-        )
+        # Same checkpoint auto-detection as LocalTacticGenerator: decoder-
+        # only checkpoints get the causal wrapper (both service modes are
+        # model-agnostic over the two families).
+        if is_causal_lm_checkpoint(args.gen_ckpt_path):
+            from reprover_tpu.generation.causal_generator import (
+                CausalTacticGeneratorModel,
+            )
+
+            model: Any = CausalTacticGeneratorModel.load_hf(
+                args.gen_ckpt_path,
+                args.max_inp_seq_len,
+                args.max_oup_seq_len,
+                args.length_penalty,
+            )
+        else:
+            model = TacticGeneratorModel.load_hf(
+                args.gen_ckpt_path,
+                args.max_inp_seq_len,
+                args.max_oup_seq_len,
+                args.length_penalty,
+            )
         retriever = None
         if args.indexed_corpus_path is not None:
             from reprover_tpu.retrieval import PremiseRetriever
