@@ -147,24 +147,60 @@ def run_cell(
     )
 
 
-def main():
-    make_data()
+class _ByteTokenizer:
+    """HF-tokenizer-shaped byte mapper for the random-weight causal cell."""
+
+    def __init__(self, vocab: int) -> None:
+        self.vocab = vocab
+
+    def __call__(self, text, add_special_tokens=True):
+        return {"input_ids": [3 + (b % (self.vocab - 3)) for b in text.encode()]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(i) for i in ids)
+
+
+def make_model(causal: bool):
     import jax
     import jax.numpy as jnp
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if causal:
+        from reprover_tpu.generation.causal_generator import (
+            CausalTacticGeneratorModel,
+        )
+        from reprover_tpu.models.causal_lm import CausalLMConfig, init_params
+
+        # Decoder-only at a byt5-small-comparable decode cost: the engine
+        # serves the LLaMA family; vocab kept small so compiles stay sane.
+        cfg = CausalLMConfig(
+            vocab_size=4096, d_model=1024, num_layers=8, num_heads=16,
+            num_kv_heads=8, d_ff=2816,
+            compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        )
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        return CausalTacticGeneratorModel(
+            params, cfg, _ByteTokenizer(cfg.vocab_size),
+            max_inp_seq_len=512, max_oup_seq_len=128, template="[GOAL]\n%s\n[PROOFSTEP]\n",
+        )
     from reprover_tpu.generation.generator import TacticGeneratorModel
     from reprover_tpu.models.t5 import byt5_small, fuse_mlp_params, init_params
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     cfg = byt5_small(
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         flash_encoder=on_tpu,
         unroll_encoder=on_tpu,
     )
     params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
-    model = TacticGeneratorModel(
+    return TacticGeneratorModel(
         params, cfg, max_inp_seq_len=512, max_oup_seq_len=128
     )
+
+
+def main():
+    make_data()
+    causal = "--causal" in sys.argv
+    model = make_model(causal)
     with open(f"{DATA}/val.json") as f:
         val = json.load(f)
 
@@ -178,7 +214,7 @@ def main():
         else ((1, 8, 5.0), (4, 8, 5.0), (8, 8, 5.0), (8, 16, 15.0), (16, 16, 15.0))
     )
     streaming_cells = (
-        ((16, 16, 8),) * 2
+        ((16, 8, 8),) * 2  # 8 slots measured best (16 doubles step cost)
         if quick
         else ((4, 4, 8), (8, 8, 8), (16, 8, 8), (16, 16, 8), (16, 8, 16))
     )
