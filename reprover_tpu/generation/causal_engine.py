@@ -151,9 +151,13 @@ def _causal_decode_step(
     h = h.reshape(S * K, 1, -1)
     rope_positions = jnp.repeat(rope_pos, K)[:, None]  # [S*K, 1]
 
-    # Decode-column selectors / validity (per slot).
-    write_oh = jax.nn.one_hot(pos, T, dtype=dt)[:, None, None, :, None]
-    # [S,1,1,T,1]
+    # Decode-column write (per slot): dynamic_update_slice touches one
+    # column; a one-hot multiply would read+write the whole decode cache
+    # every layer every step.
+    def write_col(cache, new, p):  # [K,Hkv,T,d] <- [K,Hkv,1,d] at col p
+        return jax.lax.dynamic_update_slice(cache, new, (0, 0, p, 0))
+
+    write_kv = jax.vmap(write_col)
     valid_d = jnp.arange(T)[None, :] <= pos[:, None]  # [S,T]
     bias_d = jnp.where(valid_d, 0.0, NEG_INF).astype(jnp.float32)[
         :, None, None, None, :
@@ -173,8 +177,8 @@ def _causal_decode_step(
         qg = q.reshape(S, K, H, d).reshape(S, K, Hkv, G, d)
         kd = k.reshape(S, K, Hkv, 1, d)
         vd = v.reshape(S, K, Hkv, 1, d)
-        dk = dk * (1 - write_oh) + kd * write_oh  # [S,K,Hkv,T,d]
-        dv = dv * (1 - write_oh) + vd * write_oh
+        dk = write_kv(dk, kd.astype(dk.dtype), pos)  # [S,K,Hkv,T,d]
+        dv = write_kv(dv, vd.astype(dv.dtype), pos)
 
         # One softmax over [prompt | decode] keys — the classic full-cache
         # attention with the cache split in two (same column order).

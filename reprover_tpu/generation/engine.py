@@ -183,8 +183,15 @@ def _engine_decode_step(
     self_bias = jnp.where(valid, self_bias, -1e10)
     cross_bias = state.cross_bias[:, None]  # [S,1,1,1,Smax]
 
-    write_oh = jax.nn.one_hot(pos, T, dtype=dt)[:, None, None, :, None]
-    # [S,1,1,T,1] — per-slot cache-write selector
+    def write_col(cache, new, p):
+        """Per-slot cache write: [K,H,T,d] <- [K,H,1,d] at column ``p``.
+
+        A dynamic_update_slice touches one column; the one-hot-multiply
+        alternative reads+writes the whole cache every layer every step
+        (2 extra HBM passes over hundreds of MB at serving shapes)."""
+        return jax.lax.dynamic_update_slice(cache, new, (0, 0, p, 0))
+
+    write_kv = jax.vmap(write_col)  # over slots, per-slot column ``pos``
 
     def layer(carry, inputs):
         hh = carry  # [S,K,1,D]
@@ -199,10 +206,10 @@ def _engine_decode_step(
         q = proj(nrm, lp["self_attn"]["q"])
         k_new = proj(nrm, lp["self_attn"]["k"])  # [S,K,H,1,d]
         v_new = proj(nrm, lp["self_attn"]["v"])
-        # Per-slot cache write: one-hot over the time axis selects each
-        # slot's own position (slots sit at different depths).
-        k_cache = k_cache * (1 - write_oh) + k_new * write_oh
-        v_cache = v_cache * (1 - write_oh) + v_new * write_oh
+        # Per-slot cache write at each slot's own position (slots sit at
+        # different depths).
+        k_cache = write_kv(k_cache, k_new.astype(k_cache.dtype), pos)
+        v_cache = write_kv(v_cache, v_new.astype(v_cache.dtype), pos)
         attn = _beam_attention(q, k_cache, v_cache, self_bias, dt)
         hh = hh + _dense(
             attn.transpose(0, 1, 3, 2, 4).reshape(S * K, 1, H * d),
