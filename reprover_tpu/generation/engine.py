@@ -343,15 +343,18 @@ def reorder_frozen_aware(
     cache: jnp.ndarray, cont_parent: jnp.ndarray, frozen: jnp.ndarray
 ) -> jnp.ndarray:
     """Reorder a per-beam cache [L, S, K, ...] to follow beam parents,
-    keeping frozen slots' rows untouched."""
-    S = frozen.shape[0]
-    idx = cont_parent.reshape(
-        (1, S) + cont_parent.shape[1:2] + (1,) * (cache.ndim - 3)
+    keeping frozen slots' rows untouched.
+
+    Frozen slots take IDENTITY parents folded into the gather index — a
+    post-gather ``where(frozen, old, new)`` would cost a second full
+    read+write pass over the cache, which the bisect measured as half the
+    engine step time at serving shapes."""
+    S, K = cont_parent.shape
+    parent_eff = jnp.where(
+        frozen[:, None], jnp.arange(K)[None, :], cont_parent
     )
-    new = jnp.take_along_axis(cache, idx, axis=2)
-    shape = [1] * cache.ndim
-    shape[1] = S
-    return jnp.where(frozen.reshape(shape), cache, new)
+    idx = parent_eff.reshape((1, S, K) + (1,) * (cache.ndim - 3))
+    return jnp.take_along_axis(cache, idx, axis=2)
 
 
 def engine_step(
