@@ -8,13 +8,17 @@ requests join the running batch at *token* granularity
 64-beam decode (~0.3-0.4 s). This module closes the gap:
 
 - the device state is ``num_slots`` independent beam searches (K beams
-  each) advanced together by one jit'd ``chunk`` of C decoder steps;
-- between chunks the host admits new requests into free slots (the encoder
-  runs per admission at its own bucket) and finalizes finished slots —
-  so a new request waits at most one chunk (C tokens), not a full decode;
+  each) advanced together by run-until-event programs (a ``while_loop``
+  that exits the moment a slot newly finishes, or after a traced horizon);
+- between programs the host admits arrival waves into free slots (one
+  fused tokenize->encode->scatter dispatch) and emits finished slots from
+  the finalize payload that rides along with each status — so a new
+  request waits at most one program, and the common finish costs zero
+  extra round trips;
 - each slot has its own decode position: the self-KV caches are written
-  through per-slot one-hots and the T5 relative-position bias is computed
-  per slot, so slots at different depths coexist in one program;
+  through per-slot ``dynamic_update_slice`` and the T5 relative-position
+  bias is computed per slot, so slots at different depths coexist in one
+  program;
 - cross-attention K/V are stored once per *slot*, not per beam row (the
   classic path tiles the encoder output K times) — a 64x cross-cache saving
   at 64 beams, which is what makes many-slot engines fit in 16 GB.
