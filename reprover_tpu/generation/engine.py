@@ -357,8 +357,12 @@ def reorder_frozen_aware(
     parent_eff = jnp.where(
         frozen[:, None], jnp.arange(K)[None, :], cont_parent
     )
-    idx = parent_eff.reshape((1, S, K) + (1,) * (cache.ndim - 3))
-    return jnp.take_along_axis(cache, idx, axis=2)
+    # Permutation as a one-hot MATMUL, not a gather: at K<=64 the MXU
+    # moves the rows at the memory roofline where the N-d gather lowers
+    # to a slow elementwise path (bisect-measured). Exact even in bf16 —
+    # each output row sums exactly one unscaled input row.
+    P = jax.nn.one_hot(parent_eff, K, dtype=cache.dtype)  # [S, Knew, Kold]
+    return jnp.einsum("sij,lsj...->lsi...", P, cache)
 
 
 def engine_step(
