@@ -161,19 +161,29 @@ def _beam_attention(
 
 def _engine_decode_step(
     params: Params, cfg: T5Config, state: EngineState
-) -> Tuple[jnp.ndarray, EngineState]:
-    """One decoder step for every (slot, beam) -> logits [S, K, V] fp32."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder step for every (slot, beam).
+
+    Returns (logits [S, K, V] fp32, k_news, v_news [Ld, S, K, H, 1, d]).
+
+    LAZY APPEND: the current token's K/V are NOT written into the cache
+    here — a write inside the scan forces a full-cache copy per layer per
+    step. Attention runs over the old cache (columns strictly before the
+    current position) plus the fresh column as an appended score, and
+    ``engine_step`` folds the column write into the beam-reorder matmul's
+    epilogue, which rewrites the cache anyway.
+    """
     dt = cfg.compute_dtype
     dec = params["decoder"]
     S, K = state.last_token.shape
     T = state.self_k.shape[4]
     H, d = cfg.num_heads, cfg.d_kv
-    pos = state.n - 1  # write position of the token being fed
+    pos = state.n - 1  # position of the token being fed
 
     h = params["shared_embedding"].astype(dt)[state.last_token]  # [S,K,D]
     h = h[:, :, None, :]  # [S,K,1,D]
 
-    # Per-slot self-attention bias at the current position.
+    # Per-slot self-attention bias over the PRIOR positions.
     key_positions = jnp.arange(T)
     rel = key_positions[None, :] - pos[:, None]  # [S,T]
     buckets = relative_position_bucket(
@@ -183,19 +193,18 @@ def _engine_decode_step(
     self_bias = jnp.transpose(
         dec["rel_bias"][buckets], (0, 2, 1)
     ).astype(jnp.float32)[:, None, :, None, :]  # [S,1,H,1,T]
-    valid = (key_positions[None, :] <= pos[:, None])[:, None, None, None, :]
+    valid = (key_positions[None, :] < pos[:, None])[:, None, None, None, :]
     self_bias = jnp.where(valid, self_bias, -1e10)
+    # The appended (current) column sits at relative distance 0.
+    bucket0 = relative_position_bucket(
+        jnp.zeros((1, 1), jnp.int32), False,
+        cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance,
+    )[0, 0]
+    bias0 = dec["rel_bias"][bucket0].astype(jnp.float32).reshape(
+        1, 1, H, 1, 1
+    )
     cross_bias = state.cross_bias[:, None]  # [S,1,1,1,Smax]
-
-    def write_col(cache, new, p):
-        """Per-slot cache write: [K,H,T,d] <- [K,H,1,d] at column ``p``.
-
-        A dynamic_update_slice touches one column; the one-hot-multiply
-        alternative reads+writes the whole cache every layer every step
-        (2 extra HBM passes over hundreds of MB at serving shapes)."""
-        return jax.lax.dynamic_update_slice(cache, new, (0, 0, p, 0))
-
-    write_kv = jax.vmap(write_col)  # over slots, per-slot column ``pos``
 
     def layer(carry, inputs):
         hh = carry  # [S,K,1,D]
@@ -210,11 +219,25 @@ def _engine_decode_step(
         q = proj(nrm, lp["self_attn"]["q"])
         k_new = proj(nrm, lp["self_attn"]["k"])  # [S,K,H,1,d]
         v_new = proj(nrm, lp["self_attn"]["v"])
-        # Per-slot cache write at each slot's own position (slots sit at
-        # different depths).
-        k_cache = write_kv(k_cache, k_new.astype(k_cache.dtype), pos)
-        v_cache = write_kv(v_cache, v_new.astype(v_cache.dtype), pos)
-        attn = _beam_attention(q, k_cache, v_cache, self_bias, dt)
+        # Self-attention: old cache columns + the fresh column appended.
+        s_cache = jnp.einsum(
+            "skhqd,skhtd->skhqt", q.astype(dt), k_cache.astype(dt),
+            preferred_element_type=jnp.float32,
+        ) + self_bias
+        s_new = jnp.einsum(
+            "skhqd,skhtd->skhqt", q.astype(dt), k_new.astype(dt),
+            preferred_element_type=jnp.float32,
+        ) + bias0  # [S,K,H,1,1]
+        probs = jax.nn.softmax(
+            jnp.concatenate([s_cache, s_new], axis=-1), axis=-1
+        ).astype(dt)
+        attn = (
+            jnp.einsum(
+                "skhqt,skhtd->skhqd", probs[..., :T], v_cache.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            + probs[..., T:].astype(jnp.float32) * v_new.astype(jnp.float32)
+        ).astype(dt)
         hh = hh + _dense(
             attn.transpose(0, 1, 3, 2, 4).reshape(S * K, 1, H * d),
             lp["self_attn"]["o"], dt,
@@ -231,16 +254,15 @@ def _engine_decode_step(
         from reprover_tpu.models.t5 import _mlp_block
 
         hh = hh + _mlp_block(rms_norm(hh, lp["mlp_norm"], eps), lp["mlp"], cfg)
-        return hh, (k_cache, v_cache)
+        return hh, (k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype))
 
-    hh, (new_k, new_v) = jax.lax.scan(
+    hh, (k_news, v_news) = jax.lax.scan(
         layer, h,
         (dec["layers"], state.self_k, state.self_v, state.cross_k, state.cross_v),
     )
     hh = rms_norm(hh, dec["final_norm"], cfg.layer_norm_epsilon)
     logits = _lm_logits(params, cfg, hh.reshape(S * K, 1, -1))[:, 0, :]
-    new_state = dataclasses.replace(state, self_k=new_k, self_v=new_v)
-    return logits.reshape(S, K, -1), new_state
+    return logits.reshape(S, K, -1), k_news, v_news
 
 
 # ------------------------------------------------------------------ #
@@ -365,18 +387,47 @@ def reorder_frozen_aware(
     return jnp.einsum("sij,lsj...->lsi...", P, cache)
 
 
+def reorder_append(
+    cache: jnp.ndarray,
+    new_col: jnp.ndarray,
+    cont_parent: jnp.ndarray,
+    frozen: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """Permute a per-beam cache [L, S, K, H, T, d] by beam parents AND
+    install the current step's (never-written — lazy append) column in the
+    same pass: the one-hot matmul moves rows at the memory roofline and
+    the per-slot column select fuses into its epilogue, so the cache is
+    touched exactly once per step."""
+    S, K = cont_parent.shape
+    T = cache.shape[4]
+    parent_eff = jnp.where(
+        frozen[:, None], jnp.arange(K)[None, :], cont_parent
+    )
+    P = jax.nn.one_hot(parent_eff, K, dtype=cache.dtype)  # [S, Knew, Kold]
+    permuted = jnp.einsum("sij,lsjhtd->lsihtd", P, cache)
+    # Each new beam row's appended column comes from its parent.
+    col = jnp.einsum("sij,lsjhtd->lsihtd", P, new_col)  # [L,S,K,H,1,d]
+    at_pos = (
+        jnp.arange(T).reshape(1, 1, 1, 1, T, 1)
+        == pos.reshape(1, S, 1, 1, 1, 1)
+    )
+    return jnp.where(at_pos, col, permuted)
+
+
 def engine_step(
     params: Params, cfg: T5Config, state: EngineState, length_penalty: float
 ) -> EngineState:
     """Advance every active, unfinished slot by one token."""
-    logits, state = _engine_decode_step(params, cfg, state)
+    logits, k_news, v_news = _engine_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
     )
+    pos = state.n - 1
     return dataclasses.replace(
         state,
-        self_k=reorder_frozen_aware(state.self_k, cont_parent, frozen),
-        self_v=reorder_frozen_aware(state.self_v, cont_parent, frozen),
+        self_k=reorder_append(state.self_k, k_news, cont_parent, frozen, pos),
+        self_v=reorder_append(state.self_v, v_news, cont_parent, frozen, pos),
         **updates,
     )
 
