@@ -12,9 +12,11 @@ with the decoder-only cache layout:
   (mirroring the T5 engine's cross-cache trick — a K-fold saving over the
   classic path, which tiles the prompt cache per beam row);
 - the decode-side K/V are per (slot, beam) and follow beam parents;
-- attention is ONE softmax over the concatenated [prompt | decode] key
-  set, bit-matching :func:`reprover_tpu.models.causal_lm.decode_step`'s
-  full-cache attention (same column order, same masking);
+- attention is ONE softmax over the concatenated [prompt | decode |
+  fresh-column] key set — the same key set as
+  :func:`reprover_tpu.models.causal_lm.decode_step`'s full-cache
+  attention, with the current column lazily appended instead of written
+  (the write is folded into the beam-reorder matmul's epilogue);
 - RoPE positions and cache columns are per-slot: prompts are LEFT-padded
   to the engine's ``max_src_len`` bucket, so the decode write column
   depends only on the slot's step counter.
@@ -37,7 +39,7 @@ from reprover_tpu.generation.engine import (
     NEG_INF,
     StepwiseEngineBase,
     advance_beams,
-    reorder_frozen_aware,
+    reorder_append,
 )
 from reprover_tpu.models.causal_lm import (
     CausalLMConfig,
@@ -130,12 +132,17 @@ def init_causal_engine_state(
 
 def _causal_decode_step(
     params: Params, cfg: CausalLMConfig, state: CausalEngineState
-) -> Tuple[jnp.ndarray, CausalEngineState]:
-    """One decoder step for every (slot, beam) -> logits [S, K, V] fp32.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder step for every (slot, beam).
+
+    Returns (logits [S, K, V] fp32, k_news, v_news [Ld, S, K, Hkv, 1, d]).
 
     Same math as :func:`reprover_tpu.models.causal_lm.decode_step` with the
-    batch row generalized to (slot, beam), the cache split into a shared
-    prompt part and a per-beam decode part, and per-slot write columns.
+    batch row generalized to (slot, beam) and the cache split into a shared
+    prompt part and a per-beam decode part. LAZY APPEND: the fresh column
+    is attended as an appended score and installed by the beam-reorder
+    matmul's epilogue in ``causal_engine_step`` — a write inside the scan
+    would force a full decode-cache copy per layer per step.
     """
     dt = cfg.compute_dtype
     S, K = state.last_token.shape
@@ -151,14 +158,7 @@ def _causal_decode_step(
     h = h.reshape(S * K, 1, -1)
     rope_positions = jnp.repeat(rope_pos, K)[:, None]  # [S*K, 1]
 
-    # Decode-column write (per slot): dynamic_update_slice touches one
-    # column; a one-hot multiply would read+write the whole decode cache
-    # every layer every step.
-    def write_col(cache, new, p):  # [K,Hkv,T,d] <- [K,Hkv,1,d] at col p
-        return jax.lax.dynamic_update_slice(cache, new, (0, 0, p, 0))
-
-    write_kv = jax.vmap(write_col)
-    valid_d = jnp.arange(T)[None, :] <= pos[:, None]  # [S,T]
+    valid_d = jnp.arange(T)[None, :] < pos[:, None]  # [S,T] strictly prior
     bias_d = jnp.where(valid_d, 0.0, NEG_INF).astype(jnp.float32)[
         :, None, None, None, :
     ]  # [S,1,1,1,T]
@@ -177,11 +177,10 @@ def _causal_decode_step(
         qg = q.reshape(S, K, H, d).reshape(S, K, Hkv, G, d)
         kd = k.reshape(S, K, Hkv, 1, d)
         vd = v.reshape(S, K, Hkv, 1, d)
-        dk = write_kv(dk, kd.astype(dk.dtype), pos)  # [S,K,Hkv,T,d]
-        dv = write_kv(dv, vd.astype(dv.dtype), pos)
 
-        # One softmax over [prompt | decode] keys — the classic full-cache
-        # attention with the cache split in two (same column order).
+        # One softmax over [prompt | decode | fresh-column] keys — the
+        # classic full-cache attention with the current column appended
+        # instead of written (lazy append).
         sp = (
             jnp.einsum(
                 "skhgd,shcd->skhgc", qg.astype(dt), pk.astype(dt),
@@ -198,9 +197,16 @@ def _causal_decode_step(
             * scale
             + bias_d
         )  # [S,K,Hkv,G,T]
+        s_new = (
+            jnp.einsum(
+                "skhgd,skhcd->skhgc", qg.astype(dt), kd.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [S,K,Hkv,G,1] — distance-0 column, always valid
         cp = sp.shape[-1]
         probs = jax.nn.softmax(
-            jnp.concatenate([sp, sd], axis=-1), axis=-1
+            jnp.concatenate([sp, sd, s_new], axis=-1), axis=-1
         ).astype(dt)
         out = (
             jnp.einsum(
@@ -208,10 +214,12 @@ def _causal_decode_step(
                 preferred_element_type=jnp.float32,
             )
             + jnp.einsum(
-                "skhgc,skhcd->skhgd", probs[..., cp:], dv.astype(dt),
+                "skhgc,skhcd->skhgd", probs[..., cp : cp + T], dv.astype(dt),
                 preferred_element_type=jnp.float32,
             )
-        ).astype(dt)  # fp32 accumulate both halves, one cast
+            + probs[..., cp + T :].astype(jnp.float32)  # [S,K,Hkv,G,1]
+            * vd.astype(jnp.float32)  # [S,K,Hkv,1,d] -> broadcast [.,G,d]
+        ).astype(dt)  # fp32 accumulate all parts, one cast
 
         out = out.reshape(S * K, H, 1, d)
         hh = hh + _dense(_merge(out), lp["o"], dt)
@@ -220,9 +228,9 @@ def _causal_decode_step(
             _dense(nrm, lp["gate"], dt).astype(jnp.float32)
         ).astype(dt)
         hh = hh + _dense(gate * _dense(nrm, lp["up"], dt), lp["down"], dt)
-        return hh, (dk, dv)
+        return hh, (kd.astype(dk.dtype), vd.astype(dv.dtype))
 
-    hh, (new_dk, new_dv) = jax.lax.scan(
+    hh, (k_news, v_news) = jax.lax.scan(
         layer,
         h,
         (
@@ -243,8 +251,7 @@ def _causal_decode_step(
         hh[:, 0, :].astype(dt), w.astype(dt),
         preferred_element_type=jnp.float32,
     )  # [S*K, V] fp32
-    new_state = dataclasses.replace(state, dec_k=new_dk, dec_v=new_dv)
-    return logits.reshape(S, K, -1), new_state
+    return logits.reshape(S, K, -1), k_news, v_news
 
 
 def causal_engine_step(
@@ -252,14 +259,15 @@ def causal_engine_step(
     length_penalty: float,
 ) -> CausalEngineState:
     """Advance every active, unfinished slot by one token."""
-    logits, state = _causal_decode_step(params, cfg, state)
+    logits, k_news, v_news = _causal_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
     )
+    pos = state.n - 1
     return dataclasses.replace(
         state,
-        dec_k=reorder_frozen_aware(state.dec_k, cont_parent, frozen),
-        dec_v=reorder_frozen_aware(state.dec_v, cont_parent, frozen),
+        dec_k=reorder_append(state.dec_k, k_news, cont_parent, frozen, pos),
+        dec_v=reorder_append(state.dec_v, v_news, cont_parent, frozen, pos),
         **updates,
     )
 
