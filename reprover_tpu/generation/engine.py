@@ -143,22 +143,6 @@ def _grouped_attention(
     ).astype(dtype)
 
 
-def _beam_attention(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray, dtype: jnp.dtype
-) -> jnp.ndarray:
-    """q [S,K,H,1,d] x per-beam kv [S,K,H,T,d] -> [S,K,H,1,d]."""
-    scores = jnp.einsum(
-        "skhqd,skhtd->skhqt", q.astype(dtype), k.astype(dtype),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores + bias  # [S,1,1,1,T] or [S,1,H,1,T] fp32
-    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    return jnp.einsum(
-        "skhqt,skhtd->skhqd", probs, v.astype(dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
-
-
 def _engine_decode_step(
     params: Params, cfg: T5Config, state: EngineState
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -363,28 +347,6 @@ def advance_beams(
         done=state.done | (state.active & newly_done),
     )
     return updates, cont_parent, frozen
-
-
-def reorder_frozen_aware(
-    cache: jnp.ndarray, cont_parent: jnp.ndarray, frozen: jnp.ndarray
-) -> jnp.ndarray:
-    """Reorder a per-beam cache [L, S, K, ...] to follow beam parents,
-    keeping frozen slots' rows untouched.
-
-    Frozen slots take IDENTITY parents folded into the gather index — a
-    post-gather ``where(frozen, old, new)`` would cost a second full
-    read+write pass over the cache, which the bisect measured as half the
-    engine step time at serving shapes."""
-    S, K = cont_parent.shape
-    parent_eff = jnp.where(
-        frozen[:, None], jnp.arange(K)[None, :], cont_parent
-    )
-    # Permutation as a one-hot MATMUL, not a gather: at K<=64 the MXU
-    # moves the rows at the memory roofline where the N-d gather lowers
-    # to a slow elementwise path (bisect-measured). Exact even in bf16 —
-    # each output row sums exactly one unscaled input row.
-    P = jax.nn.one_hot(parent_eff, K, dtype=cache.dtype)  # [S, Knew, Kold]
-    return jnp.einsum("sij,lsj...->lsi...", P, cache)
 
 
 def reorder_append(
