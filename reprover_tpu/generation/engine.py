@@ -15,10 +15,11 @@ requests join the running batch at *token* granularity
   the finalize payload that rides along with each status — so a new
   request waits at most one program, and the common finish costs zero
   extra round trips;
-- each slot has its own decode position: the self-KV caches are written
-  through per-slot ``dynamic_update_slice`` and the T5 relative-position
-  bias is computed per slot, so slots at different depths coexist in one
-  program;
+- each slot has its own decode position: the current token's K/V are
+  attended as a lazily-appended column and installed by the beam-reorder
+  matmul's epilogue (the cache is touched exactly once per step), and the
+  T5 relative-position bias is computed per slot, so slots at different
+  depths coexist in one program;
 - cross-attention K/V are stored once per *slot*, not per beam row (the
   classic path tiles the encoder output K times) — a 64x cross-cache saving
   at 64 beams, which is what makes many-slot engines fit in 16 GB.
