@@ -240,6 +240,8 @@ def _causal_decode_step(
             state.dec_k,
             state.dec_v,
         ),
+        unroll=True,  # removes per-iteration scan cost (measured ~3 ms of
+        # the T5 engine step); decoder-only layer counts stay modest
     )
     hh = _rms_norm(hh, params["final_norm"], cfg.rms_norm_eps)
     w = (

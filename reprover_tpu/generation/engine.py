@@ -244,6 +244,7 @@ def _engine_decode_step(
     hh, (k_news, v_news) = jax.lax.scan(
         layer, h,
         (dec["layers"], state.self_k, state.self_v, state.cross_k, state.cross_v),
+        unroll=True,  # few decoder layers; removes per-iteration scan cost
     )
     hh = rms_norm(hh, dec["final_norm"], cfg.layer_norm_epsilon)
     logits = _lm_logits(params, cfg, hh.reshape(S * K, 1, -1))[:, 0, :]
