@@ -51,7 +51,7 @@ class BeamSearchResult:
         return ((self.sequences, self.scores, self.lengths), None)
 
     @classmethod
-    def tree_unflatten(cls, aux: None, children: tuple) -> "BeamSearchOutput":
+    def tree_unflatten(cls, aux: None, children: tuple) -> "BeamSearchResult":
         return cls(*children)
 
 

@@ -247,7 +247,7 @@ class CausalDecodeState:
         return ((self.k, self.v, self.key_mask, self.step, self.position), None)
 
     @classmethod
-    def tree_unflatten(cls, aux: None, children: tuple) -> "DecodeCache":
+    def tree_unflatten(cls, aux: None, children: tuple) -> "CausalDecodeState":
         return cls(*children)
 
 

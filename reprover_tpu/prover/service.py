@@ -89,11 +89,15 @@ class InferenceService:
             "batched_requests": 0,
             "device_time": 0.0,
         }
+        # Guards read-modify-write stats updates made off the serve thread
+        # (streaming-service reaper threads) and snapshot reads.
+        self._stats_lock = threading.Lock()
 
     def stats_snapshot(self) -> Dict[str, float]:
         """Serving counters + derived rates (observability, SURVEY.md §5):
         mean coalesced batch size and device-time share per request."""
-        s = dict(self.stats)
+        with self._stats_lock:
+            s = dict(self.stats)
         if s["batches"]:
             s["mean_batch_size"] = s["batched_requests"] / s["batches"]
             s["device_time_per_request"] = s["device_time"] / s["requests"]
@@ -238,10 +242,11 @@ class StreamingInferenceService(InferenceService):
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.chunk_size = chunk_size
-        # Step horizon per dispatch when no backlog is waiting:
+        # Step horizon per dispatch while every slot is occupied:
         # chunk_size * chunk_burst decoder steps (the device stops early the
-        # moment a slot newly finishes). With a backlog the horizon drops to
-        # chunk_size so arrivals wait at most that many steps for a slot.
+        # moment a slot newly finishes). Once any slot is free the horizon
+        # drops to chunk_size so an arrival waits at most that many steps
+        # before it can be admitted into the free slot.
         self.chunk_burst = max(1, chunk_burst)
         # Device programs in flight ahead of the status being retired: the
         # status round trip (a full tunnel RTT) overlaps the next program's
@@ -373,7 +378,10 @@ class StreamingInferenceService(InferenceService):
                     # dying silently and wedging the pipeline.
                     events.put(("error", key, ex))
                     continue
-                self.stats[stat] += time.monotonic() - t0
+                # Reaper threads RMW their stat concurrently with the serve
+                # thread's dict writes; guard so increments aren't dropped.
+                with self._stats_lock:
+                    self.stats[stat] += time.monotonic() - t0
                 events.put((kind, key, host))
 
         threads = [
