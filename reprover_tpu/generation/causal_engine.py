@@ -297,11 +297,31 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         max_decode_len: int,
         length_penalty: float = 0.0,
         chunk_size: int = 8,
+        mesh: Any = None,
     ) -> None:
         self.cfg = cfg
+        if mesh is not None:
+            # Tensor-parallel serving over the mesh's `model` axis — the
+            # decoder-only family is where >1-chip models are realistic
+            # (vLLM `tensor_parallel_size`, `/root/reference/prover/proof_search.py:345`).
+            tp = mesh.shape["model"]
+            assert cfg.num_kv_heads % tp == 0 and cfg.d_ff % tp == 0, (
+                f"tensor-parallel degree {tp} must divide num_kv_heads="
+                f"{cfg.num_kv_heads} and d_ff={cfg.d_ff}"
+            )
+            from reprover_tpu.parallel.sharding import (
+                causal_param_partition_specs,
+                shard_pytree,
+            )
+
+            params = shard_pytree(
+                params,
+                causal_param_partition_specs(params, model_parallel=True),
+                mesh,
+            )
         super().__init__(
             params, num_slots, num_beams, max_src_len, max_decode_len,
-            length_penalty, chunk_size,
+            length_penalty, chunk_size, mesh=mesh,
         )
 
     # -- base hooks ---------------------------------------------------- #
@@ -311,6 +331,24 @@ class CausalStepwiseEngine(StepwiseEngineBase):
             self.cfg, self.num_slots, self.num_beams,
             self.max_src_len, self.max_decode_len,
         )
+
+    def _state_shardings(self) -> CausalEngineState:
+        """KV caches sharded over their KV-head axis (carrying the params'
+        `model` split); beam bookkeeping replicated."""
+        import dataclasses as dc
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        m = self.mesh
+        prompt_kv = NamedSharding(m, P(None, None, "model", None, None))
+        dec_kv = NamedSharding(m, P(None, None, None, "model", None, None))
+        rep = NamedSharding(m, P())
+        shardings = {f.name: rep for f in dc.fields(CausalEngineState)}
+        shardings.update(
+            prompt_k=prompt_kv, prompt_v=prompt_kv,
+            dec_k=dec_kv, dec_v=dec_kv,
+        )
+        return CausalEngineState(**shardings)
 
     def _step_program(
         self, params: Params, state: CausalEngineState

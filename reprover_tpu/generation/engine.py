@@ -420,7 +420,14 @@ class StepwiseEngineBase:
         max_decode_len: int,
         length_penalty: float = 0.0,
         chunk_size: int = 8,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ) -> None:
+        """``mesh`` enables tensor-parallel serving (the reference's vLLM
+        ``tensor_parallel_size`` role, `/root/reference/prover/proof_search.py:345`):
+        params are sharded with Megatron specs over the mesh's ``model``
+        axis and the engine KV caches over their head axis, so one engine
+        serves a model larger than a single chip's HBM. Subclasses shard
+        ``params`` before calling here and provide ``_state_shardings``."""
         self.params = params
         self.num_slots = num_slots
         self.num_beams = num_beams
@@ -428,13 +435,24 @@ class StepwiseEngineBase:
         self.max_decode_len = max_decode_len
         self.length_penalty = length_penalty
         self.chunk_size = chunk_size
-        self.state = self._init_state()
+        self.mesh = mesh
+        self._shardings = self._state_shardings() if mesh is not None else None
+        self.state = self._place(self._init_state())
         self._build_programs()
 
     # -- subclass hooks ------------------------------------------------ #
 
     def _init_state(self) -> Any:
         raise NotImplementedError
+
+    def _state_shardings(self) -> Any:
+        """NamedSharding pytree matching the engine state (TP mode only)."""
+        raise NotImplementedError
+
+    def _place(self, state: Any) -> Any:
+        if self._shardings is None:
+            return state
+        return jax.tree.map(jax.device_put, state, self._shardings)
 
     def _step_program(self, params: Params, state: Any) -> Any:
         """One decode+beam step over all slots (pure; traced under jit)."""
@@ -452,6 +470,17 @@ class StepwiseEngineBase:
         T = self.max_decode_len
         step = self._step_program
         admit = self._admit_program
+
+        # TP mode: pin the engine-state outputs to the head-sharded layout
+        # (donation then reuses the input buffers; without explicit
+        # out_shardings GSPMD may pick a different layout and silently
+        # copy the caches every dispatch).
+        repl = (
+            jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            if self.mesh is not None
+            else None
+        )
+        sh = self._shardings
 
         def _finished(s: Any) -> jnp.ndarray:
             return s.active & (s.done | (s.n >= T))
@@ -527,9 +556,23 @@ class StepwiseEngineBase:
             )
             return out, flat
 
+        if sh is not None:
+            chunk_fn = jax.jit(
+                chunk_fn.__wrapped__,
+                donate_argnums=(1,),
+                out_shardings=(sh, repl),
+            )
+
         @partial(jax.jit, donate_argnums=(1,))
         def admit_tokens_fn(params, state: Any, slots, ids, mask) -> Any:
             return admit(params, state, slots, ids, mask)
+
+        if sh is not None:
+            admit_tokens_fn = jax.jit(
+                admit_tokens_fn.__wrapped__,
+                donate_argnums=(1,),
+                out_shardings=sh,
+            )
 
         S_ = self.num_slots
 
@@ -562,6 +605,13 @@ class StepwiseEngineBase:
             )
             return ints, toks, scores, new
 
+        if sh is not None:
+            finalize_fn = jax.jit(
+                finalize_fn.__wrapped__,
+                donate_argnums=(0,),
+                out_shardings=(repl, repl, repl, sh),
+            )
+
         self._chunk_fn = chunk_fn
         self._admit_tokens_fn = admit_tokens_fn
         self._finalize_fn = finalize_fn
@@ -571,7 +621,7 @@ class StepwiseEngineBase:
     def reset(self) -> None:
         """Reinstall a blank engine state (all slots vacant). Keeps the
         compiled programs — used by the serving loop's crash containment."""
-        self.state = self._init_state()
+        self.state = self._place(self._init_state())
 
     def dispatch_run(
         self, max_steps: int, release: Optional[np.ndarray] = None
@@ -758,14 +808,33 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         max_decode_len: int,
         length_penalty: float = 0.0,
         chunk_size: int = 8,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ) -> None:
         self.cfg = cfg
+        if mesh is not None:
+            # Tensor-parallel serving: Megatron column/row splits over the
+            # mesh's `model` axis (the vLLM `tensor_parallel_size` role,
+            # `/root/reference/prover/proof_search.py:345`).
+            tp = mesh.shape["model"]
+            assert cfg.num_heads % tp == 0 and cfg.d_ff % tp == 0, (
+                f"tensor-parallel degree {tp} must divide num_heads="
+                f"{cfg.num_heads} and d_ff={cfg.d_ff}"
+            )
+            from reprover_tpu.parallel.sharding import (
+                param_partition_specs,
+                shard_pytree,
+            )
+
+            params = shard_pytree(
+                params,
+                param_partition_specs(params, cfg, model_parallel=True),
+                mesh,
+            )
         super().__init__(
             params, num_slots, num_beams, max_src_len, max_decode_len,
-            length_penalty, chunk_size,
+            length_penalty, chunk_size, mesh=mesh,
         )
 
-        @partial(jax.jit, donate_argnums=(1,))
         def admit_fn(
             params, state: EngineState, slot, enc_hidden, enc_mask
         ) -> EngineState:
@@ -818,7 +887,12 @@ class StepwiseBeamEngine(StepwiseEngineBase):
                 active=jnp.where(oh.astype(bool), True, state.active),
             )
 
-        self._admit_fn = admit_fn
+        if self._shardings is None:
+            self._admit_fn = jax.jit(admit_fn, donate_argnums=(1,))
+        else:
+            self._admit_fn = jax.jit(
+                admit_fn, donate_argnums=(1,), out_shardings=self._shardings
+            )
 
     # -- base hooks ---------------------------------------------------- #
 
@@ -827,6 +901,23 @@ class StepwiseBeamEngine(StepwiseEngineBase):
             self.params, self.cfg, self.num_slots, self.num_beams,
             self.max_src_len, self.max_decode_len,
         )
+
+    def _state_shardings(self) -> EngineState:
+        """Head-axis sharding for the KV caches (they carry the params'
+        `model` split); everything else — beam bookkeeping, biases — is
+        tiny and replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        m = self.mesh
+        head_kv = NamedSharding(m, P(None, None, None, "model", None, None))
+        head_cross = NamedSharding(m, P(None, None, "model", None, None))
+        rep = NamedSharding(m, P())
+        shardings = {f.name: rep for f in dataclasses.fields(EngineState)}
+        shardings.update(
+            self_k=head_kv, self_v=head_kv, cross_k=head_cross,
+            cross_v=head_cross,
+        )
+        return EngineState(**shardings)
 
     def _step_program(self, params: Params, state: EngineState) -> EngineState:
         return engine_step(params, self.cfg, state, self.length_penalty)

@@ -121,10 +121,13 @@ def _build(cfg: GenerationConfig) -> Tuple[Any, ...]:
     if cfg.model.remat:
         model_cfg = dataclasses.replace(model_cfg, remat=True)
     if on_tpu:
-        # Pallas flash encoder now has a custom-VJP backward, so training
-        # uses it too (the 2300-byte reference input pads to 2304, which is
-        # 128-aligned and flash-eligible).
-        model_cfg = dataclasses.replace(model_cfg, flash_encoder=True)
+        # Pallas flash attention has custom-VJP backwards throughout, so
+        # training uses it for the encoder AND the teacher-forced decoder
+        # (causal self + cross) — the 2300-byte reference input pads to
+        # 2304 and out 512 is already 128-aligned, so both are eligible.
+        model_cfg = dataclasses.replace(
+            model_cfg, flash_encoder=True, flash_decoder=True
+        )
     # Fused gate|up MLP layout (+8% measured); HF export splits it back.
     from reprover_tpu.models.t5 import fuse_mlp_params
 

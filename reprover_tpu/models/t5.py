@@ -57,6 +57,11 @@ class T5Config:
     # Fused Pallas encoder self-attention (forward-only: enable for
     # inference paths; training uses the naive composable path for autodiff).
     flash_encoder: bool = False
+    # Fused Pallas decoder attention for the teacher-forced path: causal
+    # self-attention (unidirectional rel-bias buckets) + encoder-decoder
+    # cross-attention, both with custom-VJP backward kernels. Removes the
+    # [B,H,T,T] and [B,H,T,S] score materializations from training.
+    flash_decoder: bool = False
     # Unroll the encoder layer stack instead of lax.scan (inference only:
     # larger compile, measured ~6% faster steps — scan's per-layer slicing
     # has real cost; training keeps scan for O(1) HLO and remat).
@@ -477,27 +482,77 @@ def decode(
     h = params["shared_embedding"].astype(dtype)[decoder_input_ids]
 
     t = decoder_input_ids.shape[1]
-    positions = jnp.arange(t)
-    self_bias = compute_position_bias(dec["rel_bias"], positions, positions, False, cfg)
-    causal = (positions[None, :] <= positions[:, None])[None, None]
-    self_bias = jnp.where(causal, self_bias, NEG_INF)
-    if decoder_mask is not None:
-        self_bias = self_bias + _mask_bias(decoder_mask)
-    cross_bias = _mask_bias(encoder_mask)
-
-    def layer(h, lp):
-        eps = cfg.layer_norm_epsilon
-        n = rms_norm(h, lp["self_norm"], eps)
-        h = h + _attn_block(n, n, lp["self_attn"], self_bias, cfg)
-        h = h + _attn_block(
-            rms_norm(h, lp["cross_norm"], eps),
-            encoder_hidden.astype(dtype),
-            lp["cross_attn"],
-            cross_bias,
-            cfg,
+    s = encoder_hidden.shape[1]
+    use_flash = (
+        cfg.flash_decoder
+        and decoder_mask is None  # flash path is causal-only (HF semantics)
+        and t % 128 == 0
+        and s % 128 == 0
+    )
+    if use_flash:
+        from reprover_tpu.ops.flash_attention import (
+            causal_flash_attention,
+            cross_flash_attention,
         )
-        h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
-        return h, None
+
+        interpret = jax.default_backend() != "tpu"
+        enc_h = encoder_hidden.astype(dtype)
+
+        def layer(h, lp):
+            eps = cfg.layer_norm_epsilon
+            n = rms_norm(h, lp["self_norm"], eps)
+            p = lp["self_attn"]
+            # Flat [B, T, H*d] projection layout straight into the kernels
+            # (see ops/flash_attention.py — avoids head split/merge relayouts).
+            attn = causal_flash_attention(
+                _dense(n, p["q"], dtype),
+                _dense(n, p["k"], dtype),
+                _dense(n, p["v"], dtype),
+                dec["rel_bias"],
+                num_heads=cfg.num_heads,
+                num_buckets=cfg.relative_attention_num_buckets,
+                max_distance=cfg.relative_attention_max_distance,
+                interpret=interpret,
+            )
+            h = h + _dense(attn, p["o"], dtype)
+            pc = lp["cross_attn"]
+            n = rms_norm(h, lp["cross_norm"], eps)
+            attn = cross_flash_attention(
+                _dense(n, pc["q"], dtype),
+                _dense(enc_h, pc["k"], dtype),
+                _dense(enc_h, pc["v"], dtype),
+                encoder_mask,
+                num_heads=cfg.num_heads,
+                interpret=interpret,
+            )
+            h = h + _dense(attn, pc["o"], dtype)
+            h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
+            return h, None
+
+    else:
+        positions = jnp.arange(t)
+        self_bias = compute_position_bias(
+            dec["rel_bias"], positions, positions, False, cfg
+        )
+        causal = (positions[None, :] <= positions[:, None])[None, None]
+        self_bias = jnp.where(causal, self_bias, NEG_INF)
+        if decoder_mask is not None:
+            self_bias = self_bias + _mask_bias(decoder_mask)
+        cross_bias = _mask_bias(encoder_mask)
+
+        def layer(h, lp):
+            eps = cfg.layer_norm_epsilon
+            n = rms_norm(h, lp["self_norm"], eps)
+            h = h + _attn_block(n, n, lp["self_attn"], self_bias, cfg)
+            h = h + _attn_block(
+                rms_norm(h, lp["cross_norm"], eps),
+                encoder_hidden.astype(dtype),
+                lp["cross_attn"],
+                cross_bias,
+                cfg,
+            )
+            h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
+            return h, None
 
     # Cross-attention reads encoder_hidden from closure; keys/values are
     # recomputed per layer (cheap relative to the FF) — the incremental path

@@ -72,12 +72,16 @@ def _bucket_map(
     num_buckets: int,
     max_distance: int,
     transposed: bool = False,
+    bidirectional: bool = True,
 ) -> jnp.ndarray:
-    """[block_rows, num_cols] int32 T5 bidirectional relative-position buckets.
+    """[block_rows, num_cols] int32 T5 relative-position buckets.
 
     Forward orientation (rows = query, cols = memory): rel = col - row.
     ``transposed`` (rows = memory, cols = query): rel = row - col — used by
     the dK/dV kernel whose tiles are the transpose of the score matrix.
+    ``bidirectional=False`` is the decoder form: future keys (rel > 0)
+    collapse to bucket 0 (they are causally masked anyway) and all
+    ``num_buckets`` buckets cover the past.
     """
     rows = row_start + jax.lax.broadcasted_iota(
         jnp.int32, (block_rows, num_cols), 0
@@ -85,9 +89,14 @@ def _bucket_map(
     cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_cols), 1)
     rel = (rows - cols) if transposed else (cols - rows)
 
-    half = num_buckets // 2
-    ret = jnp.where(rel > 0, half, 0).astype(jnp.int32)
-    rp = jnp.abs(rel)
+    if bidirectional:
+        half = num_buckets // 2
+        ret = jnp.where(rel > 0, half, 0).astype(jnp.int32)
+        rp = jnp.abs(rel)
+    else:
+        half = num_buckets
+        ret = jnp.zeros(rel.shape, jnp.int32)
+        rp = jnp.maximum(-rel, 0)
     max_exact = half // 2
     is_small = rp < max_exact
     rp_large = max_exact + (
@@ -97,6 +106,24 @@ def _bucket_map(
     ).astype(jnp.int32)
     rp_large = jnp.minimum(rp_large, half - 1)
     return ret + jnp.where(is_small, rp, rp_large)
+
+
+def _causal_invalid(
+    row_start: jnp.ndarray,
+    block_rows: int,
+    num_cols: int,
+    transposed: bool = False,
+) -> jnp.ndarray:
+    """Bool tile marking causally-invalid cells (key position > query).
+
+    Forward orientation: rows = query, cols = key. Transposed: rows = key,
+    cols = query. Either way the invalid condition is key > query.
+    """
+    rows = row_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, num_cols), 0
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_cols), 1)
+    return (rows > cols) if transposed else (cols > rows)
 
 
 def _chunk_cols(cols: int, target: int = 1024) -> int:
@@ -148,14 +175,22 @@ def _encoder_attn_kernel(
     num_heads: int,
     num_buckets: int,
     max_distance: int,
+    causal: bool = False,
 ) -> None:
     block_q = q_ref.shape[1]
     kv_len = k_ref.shape[1]
     d = k_ref.shape[2] // num_heads
 
     q_start = pl.program_id(1) * block_q
-    bucket = _bucket_map(q_start, block_q, kv_len, num_buckets, max_distance)
+    bucket = _bucket_map(
+        q_start, block_q, kv_len, num_buckets, max_distance,
+        bidirectional=not causal,
+    )
     mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
+    if causal:
+        mask_bias = mask_bias + jnp.where(
+            _causal_invalid(q_start, block_q, kv_len), NEG_INF, 0.0
+        )
 
     for h in range(num_heads):
         qh = q_ref[0, :, h * d : (h + 1) * d]
@@ -185,9 +220,19 @@ def _encoder_attn_kernel(
         ).astype(out_ref.dtype)
 
 
-def _pick_block(block_q: int, l: int, tile_bytes: int, budget_bytes: int) -> int:
-    """Largest 128-multiple query block whose score tiles fit the budget."""
-    budget_rows = max(128, budget_bytes // (tile_bytes * l))
+def _pick_block(
+    block_q: int,
+    l: int,
+    tile_bytes: int,
+    budget_bytes: int,
+    tile_cols: int | None = None,
+) -> int:
+    """Largest 128-multiple block of ``l`` whose score tiles fit the budget.
+
+    ``tile_cols`` is the tiles' second dimension (defaults to ``l`` — the
+    square self-attention case; cross-attention tiles are rectangular)."""
+    cols = l if tile_cols is None else tile_cols
+    budget_rows = max(128, budget_bytes // (tile_bytes * cols))
     for cand in (block_q, 512, 256, 128):
         if cand <= budget_rows and l % cand == 0 and cand <= l:
             return cand
@@ -205,6 +250,7 @@ def _forward_impl(
     max_distance: int,
     block_q: int,
     interpret: bool,
+    causal: bool = False,
 ) -> jax.Array:
     b, l, inner = q.shape
     # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
@@ -222,6 +268,7 @@ def _forward_impl(
         num_heads=num_heads,
         num_buckets=num_buckets,
         max_distance=max_distance,
+        causal=causal,
     )
     d = inner // num_heads
     flops = 2 * 2 * b * num_heads * l * l * d + 40 * b * num_heads * l * l
@@ -283,13 +330,21 @@ def _bwd_dq_kernel(
     *,
     num_buckets: int,
     max_distance: int,
+    causal: bool = False,
 ) -> None:
     block_q = q_ref.shape[2]
     kv_len = k_ref.shape[2]
     h, bi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    bucket = _bucket_map(qi * block_q, block_q, kv_len, num_buckets, max_distance)
+    bucket = _bucket_map(
+        qi * block_q, block_q, kv_len, num_buckets, max_distance,
+        bidirectional=not causal,
+    )
     mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
+    if causal:
+        mask_bias = mask_bias + jnp.where(
+            _causal_invalid(qi * block_q, block_q, kv_len), NEG_INF, 0.0
+        )
 
     @pl.when(jnp.logical_and(bi == 0, qi == 0))
     def _init_dbias():
@@ -354,19 +409,27 @@ def _bwd_dkv_kernel(
     *,
     num_buckets: int,
     max_distance: int,
+    causal: bool = False,
 ) -> None:
     block_kv = k_ref.shape[2]
     q_len = q_ref.shape[2]
     h, ki = pl.program_id(0), pl.program_id(2)
 
     bucket = _bucket_map(
-        ki * block_kv, block_kv, q_len, num_buckets, max_distance, transposed=True
+        ki * block_kv, block_kv, q_len, num_buckets, max_distance,
+        transposed=True, bidirectional=not causal,
     )
     # Rows are kv positions here: masked keys score -1e10 so P^T rows vanish
     # exactly (exp underflows to 0), matching the naive path.
     row_bias = jnp.transpose(
         jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
     )  # [BK, 1]
+    if causal:
+        row_bias = row_bias + jnp.where(
+            _causal_invalid(ki * block_kv, block_kv, q_len, transposed=True),
+            NEG_INF,
+            0.0,
+        )
 
     kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
 
@@ -404,6 +467,7 @@ def _backward_impl(
     num_buckets: int,
     max_distance: int,
     interpret: bool,
+    causal: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Backward pass in the head-grid layout.
 
@@ -444,7 +508,8 @@ def _backward_impl(
     flops = 5 * 2 * b * h * l * l * d + 60 * b * h * l * l
 
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, num_buckets=num_buckets, max_distance=max_distance
+        _bwd_dq_kernel, num_buckets=num_buckets, max_distance=max_distance,
+        causal=causal,
     )
     dqh, lse, db = pl.pallas_call(
         dq_kernel,
@@ -477,7 +542,8 @@ def _backward_impl(
     )(qh, kh, vh, gh, mask3, rel_hb, delta)
 
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, num_buckets=num_buckets, max_distance=max_distance
+        _bwd_dkv_kernel, num_buckets=num_buckets, max_distance=max_distance,
+        causal=causal,
     )
     dkh, dvh = pl.pallas_call(
         dkv_kernel,
@@ -517,7 +583,7 @@ def _backward_impl(
 # ------------------------------------------------------------------ #
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -529,9 +595,11 @@ def _flash_attention(
     max_distance: int,
     block_q: int,
     interpret: bool,
+    causal: bool,
 ) -> jax.Array:
     return _forward_impl(
-        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
+        block_q, interpret, causal,
     )
 
 
@@ -546,9 +614,11 @@ def _flash_fwd(
     max_distance: int,
     block_q: int,
     interpret: bool,
+    causal: bool,
 ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
     out = _forward_impl(
-        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
+        block_q, interpret, causal,
     )
     # Flash-style residuals: inputs + output, never the [L, L] intermediates.
     return out, (q, k, v, mask, rel_bias, out)
@@ -560,13 +630,14 @@ def _flash_bwd(
     max_distance: int,
     block_q: int,
     interpret: bool,
+    causal: bool,
     res: tuple[jax.Array, ...],
     g: jax.Array,
 ) -> tuple[jax.Array, ...]:
     q, k, v, mask, rel_bias, out = res
     dq, dk, dv, d_rel = _backward_impl(
         q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance,
-        interpret,
+        interpret, causal,
     )
     if jnp.issubdtype(mask.dtype, jnp.floating):
         dmask = jnp.zeros_like(mask)
@@ -603,5 +674,374 @@ def encoder_flash_attention(
     """Fused bidirectional T5 self-attention -> [B, L, H*d]. Differentiable
     (custom VJP with Pallas backward kernels) — usable in training."""
     return _flash_attention(
-        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance, block_q, interpret
+        q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
+        block_q, interpret, False,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "num_buckets",
+        "max_distance",
+        "block_q",
+        "interpret",
+    ),
+)
+def causal_flash_attention(
+    q: jnp.ndarray,  # [B, T, H*d] — raw projection layout
+    k: jnp.ndarray,  # [B, T, H*d]
+    v: jnp.ndarray,  # [B, T, H*d]
+    rel_bias: jnp.ndarray,  # [num_buckets, H] fp32 (HF layout)
+    num_heads: int,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused causal T5 decoder self-attention -> [B, T, H*d].
+
+    Differentiable (custom VJP, same backward kernels as the encoder with
+    unidirectional buckets + causal masking). Replaces the teacher-forced
+    decoder's naive path, which materializes a [B, H, T, T] score tensor in
+    HBM — recomputed in the backward under remat
+    (the role of torch attention in `/root/reference/generation/model.py:101-111`).
+
+    No padding mask: HF T5 training feeds the decoder causal-only attention
+    (pad positions are excluded via the -100 label mask instead), and the
+    naive :func:`reprover_tpu.models.t5.decode` does the same when
+    ``decoder_mask is None``.
+    """
+    ones = jnp.ones((q.shape[0], q.shape[1]), jnp.int32)
+    return _flash_attention(
+        q, k, v, ones, rel_bias, num_heads, num_buckets, max_distance,
+        block_q, interpret, True,
+    )
+
+
+# ------------------------------------------------------------------ #
+# Cross-attention kernels (encoder-decoder, no positional bias)
+# ------------------------------------------------------------------ #
+
+
+def _cross_attn_kernel(
+    q_ref: jax.Array,  # [1, BQ, H*d]
+    k_ref: jax.Array,  # [1, S, H*d]
+    v_ref: jax.Array,  # [1, S, H*d]
+    mask_ref: jax.Array,  # [1, 1, S] int32
+    out_ref: jax.Array,  # [1, BQ, H*d]
+    *,
+    num_heads: int,
+) -> None:
+    d = k_ref.shape[2] // num_heads
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, S]
+
+    for h in range(num_heads):
+        qh = q_ref[0, :, h * d : (h + 1) * d]
+        kh = k_ref[0, :, h * d : (h + 1) * d]
+        vh = v_ref[0, :, h * d : (h + 1) * d]
+
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, S] fp32 (T5: unscaled)
+        scores += mask_bias
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        probs = (p / l).astype(vh.dtype)
+
+        out_ref[0, :, h * d : (h + 1) * d] = jnp.dot(
+            probs, vh, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+def _cross_forward_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    num_heads: int,
+    block_q: int,
+    interpret: bool,
+) -> jax.Array:
+    b, t, inner = q.shape
+    s = k.shape[1]
+    # ~3 live fp32 [BQ, S] tiles per head iteration (scores, exp, probs).
+    block_q = _pick_block(block_q, t, 12, 8 * 1024 * 1024, tile_cols=s)
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, S]
+    d = inner // num_heads
+    flops = 2 * 2 * b * num_heads * t * s * d + 20 * b * num_heads * t * s
+    return pl.pallas_call(
+        functools.partial(_cross_attn_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((b, t, inner), q.dtype),
+        grid=(b, t // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, inner), lambda bi, qi: (bi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, inner), lambda bi, qi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, inner), lambda bi, qi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, inner), lambda bi, qi: (bi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * 4,
+            transcendentals=b * num_heads * t * s,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask3)
+
+
+def _cross_bwd_dq_kernel(
+    q_ref: jax.Array,  # [1, 1, BQ, d]
+    k_ref: jax.Array,  # [1, 1, S, d]
+    v_ref: jax.Array,  # [1, 1, S, d]
+    do_ref: jax.Array,  # [1, 1, BQ, d]
+    mask_ref: jax.Array,  # [1, 1, S] int32
+    delta_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+    dq_ref: jax.Array,  # [1, 1, BQ, d]
+    lse_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+) -> None:
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, S]
+    qh, kh, vh, doh = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, S]
+    scores += mask_bias
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l_ = jnp.sum(p, axis=-1, keepdims=True)
+    probs = p / l_
+    lse_ref[0, 0, 0, :] = (m + jnp.log(l_))[:, 0]
+
+    dp = jax.lax.dot_general(
+        doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, S]
+    delta = delta_ref[0, 0, 0, :][:, None]
+    ds = probs * (dp - delta)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(qh.dtype), kh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+
+def _cross_bwd_dkv_kernel(
+    k_ref: jax.Array,  # [1, 1, BK, d]
+    v_ref: jax.Array,  # [1, 1, BK, d]
+    q_ref: jax.Array,  # [1, 1, T, d]
+    do_ref: jax.Array,  # [1, 1, T, d]
+    mask_ref: jax.Array,  # [1, 1, BK] int32 — kv-side mask for this block
+    lse_ref: jax.Array,  # [1, 1, 1, T] fp32
+    delta_ref: jax.Array,  # [1, 1, 1, T] fp32
+    dk_ref: jax.Array,  # [1, 1, BK, d]
+    dv_ref: jax.Array,  # [1, 1, BK, d]
+) -> None:
+    row_bias = jnp.transpose(
+        jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
+    )  # [BK, 1]
+    kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
+
+    scores_t = jax.lax.dot_general(
+        kh, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, T]
+    scores_t += row_bias
+
+    p_t = jnp.exp(scores_t - lse_ref[0, 0, 0, :][None, :])  # P^T, exact
+    dp_t = jax.lax.dot_general(
+        vh, doh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, T] = dP^T
+    ds_t = p_t * (dp_t - delta_ref[0, 0, 0, :][None, :])
+
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p_t.astype(doh.dtype), doh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds_t.astype(qh.dtype), qh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _cross_backward_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    out: jax.Array,
+    g: jax.Array,
+    num_heads: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Cross-attention backward in the head-grid layout (cf.
+    :func:`_backward_impl` — same scheme minus the position-bias grad)."""
+    b, t, inner = q.shape
+    s = k.shape[1]
+    h = num_heads
+    d = inner // h
+    # ~6 live fp32 tiles per step in each kernel.
+    block_q = _pick_block(1024, t, 24, 8 * 1024 * 1024, tile_cols=s)
+    block_kv = _pick_block(1024, s, 24, 8 * 1024 * 1024, tile_cols=t)
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, S]
+
+    def to_heads(x, ln):  # [B, ln, H*d] -> [B, H, ln, d]
+        return x.reshape(b, ln, h, d).transpose(0, 2, 1, 3)
+
+    def to_flat(x, ln):  # [B, H, ln, d] -> [B, ln, H*d]
+        return x.transpose(0, 2, 1, 3).reshape(b, ln, inner)
+
+    qh, gh = to_heads(q, t), to_heads(g, t)
+    kh, vh = to_heads(k, s), to_heads(v, s)
+
+    delta = jnp.einsum(
+        "blhd,blhd->bhl",
+        g.reshape(b, t, h, d).astype(jnp.float32),
+        out.reshape(b, t, h, d).astype(jnp.float32),
+    )[:, :, None, :]  # [B, H, 1, T] fp32
+
+    flops = 5 * 2 * b * h * t * s * d + 30 * b * h * t * s
+
+    dqh, lse = pl.pallas_call(
+        _cross_bwd_dq_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t), jnp.float32),
+        ),
+        grid=(h, b, t // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda hi, bi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda hi, bi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda hi, bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * 3 // 5,
+            bytes_accessed=(q.size + k.size + v.size) * 8,
+            transcendentals=b * h * t * s,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, gh, mask3, delta)
+
+    dkh, dvh = pl.pallas_call(
+        _cross_bwd_dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+        ),
+        grid=(h, b, s // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv), lambda hi, bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * 2 // 5,
+            bytes_accessed=(q.size + k.size + v.size) * 8,
+            transcendentals=b * h * t * s,
+        ),
+        interpret=interpret,
+    )(kh, vh, qh, gh, mask3, lse, delta)
+
+    return to_flat(dqh, t), to_flat(dkh, s), to_flat(dvh, s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    num_heads: int,
+    block_q: int,
+    interpret: bool,
+) -> jax.Array:
+    return _cross_forward_impl(q, k, v, mask, num_heads, block_q, interpret)
+
+
+def _cross_fwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    num_heads: int,
+    block_q: int,
+    interpret: bool,
+) -> tuple[jax.Array, tuple[jax.Array, ...]]:
+    out = _cross_forward_impl(q, k, v, mask, num_heads, block_q, interpret)
+    return out, (q, k, v, mask, out)
+
+
+def _cross_bwd(
+    num_heads: int,
+    block_q: int,
+    interpret: bool,
+    res: tuple[jax.Array, ...],
+    g: jax.Array,
+) -> tuple[jax.Array, ...]:
+    q, k, v, mask, out = res
+    dq, dk, dv = _cross_backward_impl(
+        q, k, v, mask, out, g, num_heads, interpret
+    )
+    if jnp.issubdtype(mask.dtype, jnp.floating):
+        dmask = jnp.zeros_like(mask)
+    else:
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_cross_attention.defvjp(_cross_fwd, _cross_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret")
+)
+def cross_flash_attention(
+    q: jnp.ndarray,  # [B, T, H*d] — decoder-side queries, raw projection layout
+    k: jnp.ndarray,  # [B, S, H*d] — encoder-side keys
+    v: jnp.ndarray,  # [B, S, H*d]
+    mask: jnp.ndarray,  # [B, S] int {0,1} — encoder padding mask
+    num_heads: int,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused encoder-decoder cross-attention -> [B, T, H*d]. Differentiable.
+
+    T5 cross-attention carries no positional bias — only the encoder padding
+    mask. Replaces the teacher-forced decoder's naive path, whose
+    [B, H, T, S] score tensor (S = 2304 at the reference generation config)
+    is the single largest HBM round-trip in the training graph, recomputed
+    again in the backward under remat.
+    """
+    return _cross_attention(q, k, v, mask, num_heads, block_q, interpret)

@@ -183,3 +183,210 @@ def test_kernel_direct_vs_reference_math():
         .reshape(B, L, H * d)
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------------------------ #
+# Decoder kernels: causal self-attention + cross-attention
+# ------------------------------------------------------------------ #
+
+
+def _causal_einsum_reference(q, k, v, rel, H, d):
+    from reprover_tpu.models.t5 import T5Config, compute_position_bias
+
+    B, T = q.shape[0], q.shape[1]
+    cfg = T5Config(num_heads=H, d_kv=d)
+    qh = q.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    pos = jnp.arange(T)
+    bias = compute_position_bias(rel, pos, pos, False, cfg)
+    causal = (pos[None, :] <= pos[:, None])[None, None]
+    bias = jnp.where(causal, bias, -1e10)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    return (
+        jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, T, H * d)
+    )
+
+
+def test_causal_kernel_vs_reference_math():
+    from reprover_tpu.ops.flash_attention import causal_flash_attention
+
+    B, H, T, d = 2, 4, 256, 8
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    out = causal_flash_attention(q, k, v, rel, num_heads=H, interpret=True)
+    ref = _causal_einsum_reference(q, k, v, rel, H, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_causal_kernel_gradients_vs_reference_math():
+    from reprover_tpu.ops.flash_attention import causal_flash_attention
+
+    B, H, T, d = 2, 4, 256, 8
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+
+    def loss_flash(q, k, v, rel):
+        out = causal_flash_attention(q, k, v, rel, num_heads=H, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(_causal_einsum_reference(q, k, v, rel, H, d) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, gf, gr in zip(("dq", "dk", "dv", "drel"), g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_causal_long_distance_buckets():
+    """T > max_distance exercises the unidirectional log-bucket branch."""
+    from reprover_tpu.ops.flash_attention import causal_flash_attention
+
+    B, H, T, d = 1, 2, 256, 8
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    out = causal_flash_attention(
+        q, k, v, rel, num_heads=H, max_distance=32, interpret=True
+    )
+
+    from reprover_tpu.models.t5 import T5Config, compute_position_bias
+
+    cfg = T5Config(num_heads=H, d_kv=d, relative_attention_max_distance=32)
+    qh = q.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    pos = jnp.arange(T)
+    bias = compute_position_bias(rel, pos, pos, False, cfg)
+    bias = jnp.where((pos[None, :] <= pos[:, None])[None, None], bias, -1e10)
+    probs = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", qh, kh) + bias, -1)
+    ref = (
+        jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, T, H * d)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def _cross_einsum_reference(q, k, v, mask, H, d):
+    from reprover_tpu.models.t5 import _mask_bias
+
+    B, T = q.shape[0], q.shape[1]
+    S = k.shape[1]
+    qh = q.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, S, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) + _mask_bias(mask)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return (
+        jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, T, H * d)
+    )
+
+
+def test_cross_kernel_vs_reference_math():
+    """Rectangular (T != S) cross-attention with encoder padding."""
+    from reprover_tpu.ops.flash_attention import cross_flash_attention
+
+    B, H, T, S, d = 2, 4, 128, 384, 8
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H * d)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, S)) > 0.3), jnp.int32).at[:, 0].set(1)
+    out = cross_flash_attention(q, k, v, mask, num_heads=H, interpret=True)
+    ref = _cross_einsum_reference(q, k, v, mask, H, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_cross_kernel_gradients_vs_reference_math():
+    from reprover_tpu.ops.flash_attention import cross_flash_attention
+
+    B, H, T, S, d = 2, 4, 128, 384, 8
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H * d)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, S)) > 0.3), jnp.int32).at[:, 0].set(1)
+    w = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = cross_flash_attention(q, k, v, mask, num_heads=H, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_cross_einsum_reference(q, k, v, mask, H, d) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, gf, gr in zip(("dq", "dk", "dv"), g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_decoder_flash_matches_naive_forward_loss_and_grads():
+    """Model level: the full seq2seq training loss and parameter gradients
+    match between flash_decoder and the naive decoder (remat on — the
+    training configuration)."""
+    import dataclasses as dc
+
+    from reprover_tpu.models.t5 import forward_loss, init_params
+
+    cfg_naive = dc.replace(TINY, remat=True)
+    cfg_flash = dc.replace(TINY, remat=True, flash_decoder=True, flash_encoder=True)
+    params = init_params(jax.random.PRNGKey(2), TINY)
+    rng = np.random.default_rng(19)
+    B, S, T = 2, 256, 128
+    ids = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, S)) > 0.25), jnp.int32).at[:, :4].set(1)
+    labels = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, T)), jnp.int32)
+    labels = jnp.where(jnp.arange(T)[None, :] < 100, labels, -100)
+
+    def loss(params, cfg):
+        return forward_loss(params, cfg, ids, mask, labels)
+
+    l_naive, g_naive = jax.value_and_grad(loss)(params, cfg_naive)
+    l_flash, g_flash = jax.value_and_grad(loss)(params, cfg_flash)
+    np.testing.assert_allclose(float(l_flash), float(l_naive), atol=1e-5, rtol=1e-5)
+    flat_n, _ = jax.tree_util.tree_flatten_with_path(g_naive)
+    flat_f = jax.tree_util.tree_leaves(g_flash)
+    for (path, gn), gf in zip(flat_n, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(gf),
+            np.asarray(gn),
+            atol=1e-4,
+            rtol=3e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_decoder_flash_falls_back_on_unaligned_length():
+    """T or S not a multiple of 128 silently uses the naive decoder path."""
+    import dataclasses as dc
+
+    from reprover_tpu.models.t5 import forward_loss, init_params
+
+    cfg = dc.replace(TINY, flash_decoder=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.ones((2, 100), jnp.int32)
+    mask = jnp.ones((2, 100), jnp.int32)
+    labels = jnp.ones((2, 50), jnp.int32)
+    out = forward_loss(params, cfg, ids, mask, labels)  # must not raise
+    assert out.shape == ()
