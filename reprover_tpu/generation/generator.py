@@ -173,9 +173,14 @@ class TacticGeneratorModel:
     # -------------------------------------------------------------- #
 
     def make_stepwise_engine(
-        self, num_slots: int, num_beams: int, chunk_size: int = 8
+        self, num_slots: int, num_beams: int, chunk_size: int = 8,
+        mesh: Any = None,
     ) -> Any:
-        """Build the continuous-batching engine for this model family."""
+        """Build the continuous-batching engine for this model family.
+
+        ``mesh`` enables tensor-parallel serving over its ``model`` axis
+        (the vLLM ``tensor_parallel_size`` role,
+        `/root/reference/prover/proof_search.py:345`)."""
         from reprover_tpu.generation.engine import StepwiseBeamEngine
         from reprover_tpu.tokenizer import round_to_bucket
 
@@ -190,6 +195,7 @@ class TacticGeneratorModel:
             max_decode_len=self.max_oup_seq_len,
             length_penalty=self.length_penalty,
             chunk_size=chunk_size,
+            mesh=mesh,
         )
 
     def tokenize_for_engine(

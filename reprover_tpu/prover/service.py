@@ -182,11 +182,14 @@ class InferenceService:
         padded = states + [""] * (bucket - len(states))
         candidates = self.generator.generate(padded, num_samples)
 
-        self.stats["requests"] += len(group)
-        self.stats["last_resp_ts"] = time.monotonic()
-        self.stats["batches"] += 1
-        self.stats["batched_requests"] += len(group)
-        self.stats["device_time"] += time.monotonic() - t0
+        # The streaming service runs this on a fallback worker thread
+        # concurrently with the serve thread's stats writes — guard RMWs.
+        with self._stats_lock:
+            self.stats["requests"] += len(group)
+            self.stats["last_resp_ts"] = time.monotonic()
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(group)
+            self.stats["device_time"] += time.monotonic() - t0
 
         for r, cands in zip(group, candidates):
             self._response_qs[r.client_id].put(GenerateResponse(r.req_id, cands))
@@ -237,11 +240,17 @@ class StreamingInferenceService(InferenceService):
         chunk_size: int = 8,
         chunk_burst: int = 4,
         pipeline_depth: int = 4,
+        mesh: Any = None,
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.chunk_size = chunk_size
+        # Tensor-parallel serving: the engine shards the model (Megatron
+        # specs) and its KV caches over ``mesh``'s `model` axis — the
+        # reference's vLLM `tensor_parallel_size=num_gpus`
+        # (`/root/reference/prover/proof_search.py:345`).
+        self.mesh = mesh
         # Step horizon per dispatch while every slot is occupied:
         # chunk_size * chunk_burst decoder steps (the device stops early the
         # moment a slot newly finishes). Once any slot is free the horizon
@@ -272,7 +281,8 @@ class StreamingInferenceService(InferenceService):
         # Model-agnostic: the generator wrapper (T5 seq2seq OR decoder-only
         # causal LM) builds its own engine family and owns tokenization.
         self._engine = self.generator.make_stepwise_engine(
-            self.num_slots, self.num_beams, chunk_size=self.chunk_size
+            self.num_slots, self.num_beams, chunk_size=self.chunk_size,
+            mesh=self.mesh,
         )
 
     def _admit_wave(self, slots: List[int], states: List[str]) -> None:
@@ -298,8 +308,9 @@ class StreamingInferenceService(InferenceService):
         req = self._slot_req.pop(slot)
         cands = self.generator.decode_candidates(seqs, scores, lens)
         self._response_qs[req.client_id].put(GenerateResponse(req.req_id, cands))
-        self.stats["requests"] += 1
-        self.stats["last_resp_ts"] = time.monotonic()
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["last_resp_ts"] = time.monotonic()
 
     def _serve(self) -> None:
         """Crash containment around the serving loop: an unexpected error
@@ -363,6 +374,25 @@ class StreamingInferenceService(InferenceService):
                 except _q.Empty:
                     continue
 
+        # Non-engine-width requests run the classic one-shot path on this
+        # side thread (JAX dispatch is thread-safe): a stray width must not
+        # stall admissions/status retirement/emits for a full decode — or
+        # minutes, if it triggers a fresh compile.
+        fallback_q: Any = _q.Queue()
+
+        def fallback_worker() -> None:
+            while not halted():
+                try:
+                    req = fallback_q.get(timeout=0.1)
+                except _q.Empty:
+                    continue
+                try:
+                    self._serve_group([req], req.num_samples)
+                except Exception as ex:  # containment per request
+                    self._response_qs[req.client_id].put(
+                        GenerateResponse(req.req_id, [], error=repr(ex))
+                    )
+
         def reaper(kind: str, q: Any, stat: str) -> None:
             while not halted():
                 try:
@@ -393,6 +423,7 @@ class StreamingInferenceService(InferenceService):
             threading.Thread(
                 target=reaper, args=("fin", fin_q, "emit_time"), daemon=True
             ),
+            threading.Thread(target=fallback_worker, daemon=True),
         ]
         for t in threads:
             t.start()
@@ -437,16 +468,12 @@ class StreamingInferenceService(InferenceService):
                         self.stats.setdefault(
                             "first_req_ts", time.monotonic()
                         )
-                        try:
-                            if req.num_samples != self.num_beams:
+                        if req.num_samples != self.num_beams:
+                            with self._stats_lock:
                                 self.stats["fallbacks"] += 1
-                                self._serve_group([req], req.num_samples)
-                            else:
-                                backlog.append(req)
-                        except Exception as ex:  # containment per request
-                            self._response_qs[req.client_id].put(
-                                GenerateResponse(req.req_id, [], error=repr(ex))
-                            )
+                            fallback_q.put(req)
+                        else:
+                            backlog.append(req)
                     elif kind == "status":
                         psq, (arr,) = payload
                         in_flight -= 1
@@ -549,6 +576,14 @@ class StreamingInferenceService(InferenceService):
                     kind, *payload = events.get_nowait()
                     if kind == "req":
                         backlog.append(payload[0])
+            except _q.Empty:
+                pass
+            # Fallback requests not yet picked up re-enter via the client
+            # queue (the next invocation's forwarder re-routes them; the
+            # engine backlog is engine-width-only, so they can't go there).
+            try:
+                while True:
+                    self.request_q.put(fallback_q.get_nowait())
             except _q.Empty:
                 pass
 

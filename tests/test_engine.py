@@ -307,6 +307,67 @@ def test_streaming_service_matches_classic(setup):
     assert snap["admissions"] == 2 and snap["fallbacks"] == 1
 
 
+def test_streaming_fallback_does_not_stall_engine(setup):
+    """A non-engine-width request must not block the serve loop: while its
+    classic one-shot decode runs (here artificially slow, standing in for a
+    fresh-compile stall), engine-width requests keep admitting and
+    finishing at their normal cadence (VERDICT r2 weak #3)."""
+    import asyncio
+    import threading
+
+    from reprover_tpu.data import Pos
+    from reprover_tpu.prover import StreamingInferenceService
+
+    params, model, texts, classic = setup
+    svc = StreamingInferenceService(
+        model, num_slots=2, num_beams=K, chunk_size=3
+    )
+    real_generate = model.generate
+    # The fallback decode BLOCKS until the engine-width requests complete:
+    # with the old inline fallback the serve thread would be stuck here, the
+    # engine requests could never finish, the wait would time out, and the
+    # fallback request would come back as an error. Deterministic, no
+    # compile-time-sensitive wall-clock bounds.
+    engine_done = threading.Event()
+
+    def slow_generate(states, num_samples, **kw):
+        if num_samples != K:  # the fallback width only
+            assert engine_done.wait(timeout=120), (
+                "engine-width requests stalled while the fallback ran"
+            )
+        return real_generate(states, num_samples, **kw)
+
+    model.generate = slow_generate
+    svc.start()
+    try:
+        clients = [svc.client() for _ in range(3)]
+
+        async def one(c, text, width):
+            return await c.agenerate(text, "a.lean", "t", Pos(1, 1), width)
+
+        async def go():
+            fb = asyncio.ensure_future(one(clients[0], texts[2], 2))
+            await asyncio.sleep(0.3)  # fallback is on the side thread now
+            r0, r1 = await asyncio.gather(
+                one(clients[1], texts[0], K),
+                one(clients[2], texts[1], K),
+            )
+            engine_done.set()
+            return r0, r1, await fb
+
+        r0, r1, rfb = asyncio.run(go())
+    finally:
+        engine_done.set()
+        model.generate = real_generate
+        svc.stop()
+
+    _assert_same(r0, classic[texts[0]])
+    _assert_same(r1, classic[texts[1]])
+    want_fb = model.generate([texts[2]], num_samples=2, max_length=TDEC)[0]
+    _assert_same(rfb, want_fb)
+    assert svc.stats_snapshot()["fallbacks"] == 1
+
+
 def test_streaming_service_oversubscribed(setup):
     """More concurrent requests than slots: the backlog, slot reuse, and
     the stale-status admission barrier in the pipelined serve loop must
