@@ -58,6 +58,10 @@ def main():
     for name, kw in (
         ("enc-flash only", dict(flash_encoder=True)),
         ("enc+dec flash", dict(flash_encoder=True, flash_decoder=True)),
+        (
+            "enc+dec flash, remat lite",
+            dict(flash_encoder=True, flash_decoder=True, remat_policy="lite"),
+        ),
     ):
         cfg = byt5_small(compute_dtype=jnp.bfloat16, remat=True, **kw)
         dt, tc = bench(cfg, gbatch)

@@ -54,6 +54,12 @@ class T5Config:
     decoder_start_token_id: int = 0
     compute_dtype: Any = jnp.float32
     remat: bool = False  # rematerialize each layer's activations in backward
+    # Selective remat: "full" recomputes the whole layer in backward (lowest
+    # memory); "lite" saves the tagged fat intermediates (MLP hidden, QKV
+    # projections, attention outputs) so the backward recomputes only norms
+    # and elementwise ops — trades ~5 GB of activations (byt5-small at the
+    # reference generation config) for skipping ~95% of the recompute FLOPs.
+    remat_policy: str = "full"
     # Fused Pallas encoder self-attention (forward-only: enable for
     # inference paths; training uses the naive composable path for autodiff).
     flash_encoder: bool = False
@@ -288,24 +294,50 @@ def _attn_block(
     bias: Optional[jnp.ndarray],
     cfg: T5Config,
 ) -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
     dtype = cfg.compute_dtype
-    q = _split_heads(_dense(x, p["q"], dtype), cfg.num_heads, cfg.d_kv)
-    k = _split_heads(_dense(kv_src, p["k"], dtype), cfg.num_heads, cfg.d_kv)
-    v = _split_heads(_dense(kv_src, p["v"], dtype), cfg.num_heads, cfg.d_kv)
-    out = attention(q, k, v, bias, dtype)
+    q = _split_heads(
+        checkpoint_name(_dense(x, p["q"], dtype), "qkv"), cfg.num_heads, cfg.d_kv
+    )
+    k = _split_heads(
+        checkpoint_name(_dense(kv_src, p["k"], dtype), "qkv"),
+        cfg.num_heads,
+        cfg.d_kv,
+    )
+    v = _split_heads(
+        checkpoint_name(_dense(kv_src, p["v"], dtype), "qkv"),
+        cfg.num_heads,
+        cfg.d_kv,
+    )
+    out = checkpoint_name(attention(q, k, v, bias, dtype), "attn_out")
     return _dense(_merge_heads(out), p["o"], dtype)
 
 
+def _layer_remat(layer_fn: Any, cfg: T5Config) -> Any:
+    """Per-layer rematerialization with the configured policy (see
+    ``T5Config.remat_policy``)."""
+    if cfg.remat_policy == "lite":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "mlp_hidden", "qkv", "attn_out"
+        )
+        return jax.checkpoint(layer_fn, policy=policy)
+    return jax.checkpoint(layer_fn)
+
+
 def _mlp_block(x: jnp.ndarray, p: Params, cfg: T5Config) -> jnp.ndarray:
+    from jax.ad_checkpoint import checkpoint_name
+
     dtype = cfg.compute_dtype
     if "wi" in p:
         # Pre-fused gate|up projection (see fuse_mlp_params): one wide MXU
         # matmul instead of two — measured +8% encoder throughput on v5e.
-        h = _dense(x, p["wi"], dtype)
+        h = checkpoint_name(_dense(x, p["wi"], dtype), "mlp_hidden")
         gate, up = jnp.split(h, 2, axis=-1)
         return _dense(gelu_new(gate) * up, p["wo"], dtype)
-    gate = gelu_new(_dense(x, p["wi_0"], dtype))
-    return _dense(gate * _dense(x, p["wi_1"], dtype), p["wo"], dtype)
+    gate = checkpoint_name(_dense(x, p["wi_0"], dtype), "mlp_hidden")
+    up = checkpoint_name(_dense(x, p["wi_1"], dtype), "mlp_hidden")
+    return _dense(gelu_new(gate) * up, p["wo"], dtype)
 
 
 def fuse_mlp_params(params: Params) -> Params:
@@ -358,15 +390,17 @@ def encode(
         interpret = jax.default_backend() != "tpu"
 
         def layer(h, lp):
+            from jax.ad_checkpoint import checkpoint_name
+
             eps = cfg.layer_norm_epsilon
             n = rms_norm(h, lp["attn_norm"], eps)
             p = lp["attn"]
             # Raw [B, L, H*d] projection layout straight into the kernel —
             # no head split/merge relayouts on the flash path.
             attn = encoder_flash_attention(
-                _dense(n, p["q"], dtype),
-                _dense(n, p["k"], dtype),
-                _dense(n, p["v"], dtype),
+                checkpoint_name(_dense(n, p["q"], dtype), "qkv"),
+                checkpoint_name(_dense(n, p["k"], dtype), "qkv"),
+                checkpoint_name(_dense(n, p["v"], dtype), "qkv"),
                 attention_mask,
                 enc["rel_bias"],
                 num_heads=cfg.num_heads,
@@ -374,6 +408,7 @@ def encode(
                 max_distance=cfg.relative_attention_max_distance,
                 interpret=interpret,
             )
+            attn = checkpoint_name(attn, "attn_out")
             h = h + _dense(attn, p["o"], dtype)
             h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
             return h, None
@@ -397,7 +432,7 @@ def encode(
             h, _ = layer(h, jax.tree.map(lambda x: x[i], enc["layers"]))
     else:
         if cfg.remat:
-            layer = jax.checkpoint(layer)
+            layer = _layer_remat(layer, cfg)
         h, _ = jax.lax.scan(layer, h, enc["layers"])
     return rms_norm(h, enc["final_norm"], cfg.layer_norm_epsilon)
 
@@ -499,33 +534,35 @@ def decode(
         enc_h = encoder_hidden.astype(dtype)
 
         def layer(h, lp):
+            from jax.ad_checkpoint import checkpoint_name
+
             eps = cfg.layer_norm_epsilon
             n = rms_norm(h, lp["self_norm"], eps)
             p = lp["self_attn"]
             # Flat [B, T, H*d] projection layout straight into the kernels
             # (see ops/flash_attention.py — avoids head split/merge relayouts).
             attn = causal_flash_attention(
-                _dense(n, p["q"], dtype),
-                _dense(n, p["k"], dtype),
-                _dense(n, p["v"], dtype),
+                checkpoint_name(_dense(n, p["q"], dtype), "qkv"),
+                checkpoint_name(_dense(n, p["k"], dtype), "qkv"),
+                checkpoint_name(_dense(n, p["v"], dtype), "qkv"),
                 dec["rel_bias"],
                 num_heads=cfg.num_heads,
                 num_buckets=cfg.relative_attention_num_buckets,
                 max_distance=cfg.relative_attention_max_distance,
                 interpret=interpret,
             )
-            h = h + _dense(attn, p["o"], dtype)
+            h = h + _dense(checkpoint_name(attn, "attn_out"), p["o"], dtype)
             pc = lp["cross_attn"]
             n = rms_norm(h, lp["cross_norm"], eps)
             attn = cross_flash_attention(
-                _dense(n, pc["q"], dtype),
-                _dense(enc_h, pc["k"], dtype),
-                _dense(enc_h, pc["v"], dtype),
+                checkpoint_name(_dense(n, pc["q"], dtype), "qkv"),
+                checkpoint_name(_dense(enc_h, pc["k"], dtype), "qkv"),
+                checkpoint_name(_dense(enc_h, pc["v"], dtype), "qkv"),
                 encoder_mask,
                 num_heads=cfg.num_heads,
                 interpret=interpret,
             )
-            h = h + _dense(attn, pc["o"], dtype)
+            h = h + _dense(checkpoint_name(attn, "attn_out"), pc["o"], dtype)
             h = h + _mlp_block(rms_norm(h, lp["mlp_norm"], eps), lp["mlp"], cfg)
             return h, None
 
@@ -558,7 +595,7 @@ def decode(
     # recomputed per layer (cheap relative to the FF) — the incremental path
     # below caches them properly.
     if cfg.remat:
-        layer = jax.checkpoint(layer)
+        layer = _layer_remat(layer, cfg)
     h, _ = jax.lax.scan(layer, h, dec["layers"])
     h = rms_norm(h, dec["final_norm"], cfg.layer_norm_epsilon)
     return _lm_logits(params, cfg, h)

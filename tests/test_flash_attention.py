@@ -390,3 +390,29 @@ def test_decoder_flash_falls_back_on_unaligned_length():
     labels = jnp.ones((2, 50), jnp.int32)
     out = forward_loss(params, cfg, ids, mask, labels)  # must not raise
     assert out.shape == ()
+
+
+def test_remat_lite_policy_matches_full():
+    """remat_policy='lite' (save tagged intermediates) must be numerically
+    identical to full remat — the policy changes what's saved, not math."""
+    import dataclasses as dc
+
+    from reprover_tpu.models.t5 import forward_loss, init_params
+
+    cfg_full = dc.replace(TINY, remat=True, flash_encoder=True, flash_decoder=True)
+    cfg_lite = dc.replace(cfg_full, remat_policy="lite")
+    params = init_params(jax.random.PRNGKey(4), TINY)
+    rng = np.random.default_rng(23)
+    B, S, T = 2, 256, 128
+    ids = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, S)) > 0.25), jnp.int32).at[:, :4].set(1)
+    labels = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, T)), jnp.int32)
+
+    def loss(params, cfg):
+        return forward_loss(params, cfg, ids, mask, labels)
+
+    l_full, g_full = jax.value_and_grad(loss)(params, cfg_full)
+    l_lite, g_lite = jax.value_and_grad(loss)(params, cfg_lite)
+    np.testing.assert_allclose(float(l_lite), float(l_full), rtol=1e-6)
+    for gf, gl in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_lite)):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(gf), atol=1e-6, rtol=1e-5)
