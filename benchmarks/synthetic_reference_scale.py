@@ -46,6 +46,10 @@ _ap.add_argument("--retriever-only", action="store_true",
 _ap.add_argument("--lr", type=float, default=3e-4)
 _ap.add_argument("--loss", choices=["mse", "infonce"], default="mse")
 _ap.add_argument("--root", default="/tmp/synth_ref_scale")
+_ap.add_argument("--init-hf", default=None,
+                 help="HF-layout dir (e.g. a span-corruption pretraining "
+                 "export) to initialize the retriever from, instead of "
+                 "random init — the reference's pretrained-byt5 role")
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 ROOT = _ARGS.root
@@ -123,7 +127,17 @@ def main():
     log(stage="retrieval_data", train=len(dm.ds_train), val=len(dm.ds_val),
         premises=len(dm.corpus))
 
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    if _ARGS.init_hf:
+        from reprover_tpu.models import load_hf_t5
+
+        params, loaded_cfg = load_hf_t5(_ARGS.init_hf)
+        assert (loaded_cfg.d_model, loaded_cfg.num_encoder_layers) == (
+            cfg.d_model,
+            cfg.num_encoder_layers,
+        ), "pretrained geometry must match the fine-tune geometry"
+        log(stage="init", source=_ARGS.init_hf)
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
     retriever = PremiseRetriever(
         params, icfg, max_seq_len=SEQ, num_retrieved=NUM_RETRIEVED
     )
