@@ -38,6 +38,9 @@ class ModelConfig:
     # batch size needs ~60GB of activations without it — fine on an 80GB
     # A100, fatal on a 16GB v5e.
     remat: bool = True
+    # Remat flavor: "full" / "lite" / "offload" — see retrieval CLI;
+    # "offload" is the reference's DeepSpeed `cpu_checkpointing`.
+    remat_policy: str = "full"
     # Adam moments in TPU host memory, streamed per update (the reference's
     # DeepSpeedCPUAdam role, `common.py:387-393`).
     offload_optimizer: bool = False
@@ -119,7 +122,9 @@ def _build(cfg: GenerationConfig) -> Tuple[Any, ...]:
     else:
         params, model_cfg = load_hf_t5(cfg.model.model_name, compute_dtype=dtype)
     if cfg.model.remat:
-        model_cfg = dataclasses.replace(model_cfg, remat=True)
+        model_cfg = dataclasses.replace(
+            model_cfg, remat=True, remat_policy=cfg.model.remat_policy
+        )
     if on_tpu:
         # Pallas flash attention has custom-VJP backwards throughout, so
         # training uses it for the encoder AND the teacher-forced decoder

@@ -58,7 +58,10 @@ class T5Config:
     # memory); "lite" saves the tagged fat intermediates (MLP hidden, QKV
     # projections, attention outputs) so the backward recomputes only norms
     # and elementwise ops — trades ~5 GB of activations (byt5-small at the
-    # reference generation config) for skipping ~95% of the recompute FLOPs.
+    # reference generation config) for skipping ~95% of the recompute FLOPs;
+    # "offload" streams those same intermediates to pinned host memory
+    # instead (the reference's DeepSpeed cpu_checkpointing role) — "lite"
+    # FLOP savings at zero HBM cost, paying host-DMA bandwidth.
     remat_policy: str = "full"
     # Fused Pallas encoder self-attention (forward-only: enable for
     # inference paths; training uses the naive composable path for autodiff).
@@ -320,6 +323,22 @@ def _layer_remat(layer_fn: Any, cfg: T5Config) -> Any:
     if cfg.remat_policy == "lite":
         policy = jax.checkpoint_policies.save_only_these_names(
             "mlp_hidden", "qkv", "attn_out"
+        )
+        return jax.checkpoint(layer_fn, policy=policy)
+    if cfg.remat_policy == "offload":
+        # The reference's DeepSpeed ``cpu_checkpointing``
+        # (/root/reference/retrieval/model.py:96-99, common.py:446-455):
+        # checkpointed activations live in host memory, not HBM. Here the
+        # tagged fat intermediates stream to pinned host RAM at forward time
+        # and back at backward time, so HBM holds neither the activations
+        # (as "lite" does) nor the recompute working set spikes — the
+        # backward skips the same ~95% of recompute FLOPs as "lite" at zero
+        # HBM cost, paying PCIe/DMA bandwidth instead.
+        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=["mlp_hidden", "qkv", "attn_out"],
+            offload_src="device",
+            offload_dst="pinned_host",
         )
         return jax.checkpoint(layer_fn, policy=policy)
     return jax.checkpoint(layer_fn)

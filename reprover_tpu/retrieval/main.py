@@ -47,6 +47,11 @@ class ModelConfig:
     # 16GB v5e; remat trades ~30% recompute for 5x memory),
     # `retrieval/model.py:96-99`): rematerialize each layer in backward.
     remat: bool = True
+    # Remat flavor: "full" (recompute everything), "lite" (save fat
+    # intermediates in HBM, recompute only cheap ops), or "offload" (stream
+    # the fat intermediates to pinned host memory — the reference's
+    # `cpu_checkpointing` knob itself, `retrieval/model.py:96-99`).
+    remat_policy: str = "full"
     # Adam moments in TPU host memory, streamed per update (the reference's
     # DeepSpeedCPUAdam role, `common.py:387-393`): frees ~2x params of HBM
     # for bigger batches on 16GB chips.
@@ -129,7 +134,9 @@ def _build(cfg: RetrievalConfig) -> Tuple[Any, ...]:
             cfg.model.model_name, encoder_only=True, compute_dtype=dtype
         )
     if cfg.model.remat:
-        model_cfg = dataclasses.replace(model_cfg, remat=True)
+        model_cfg = dataclasses.replace(
+            model_cfg, remat=True, remat_policy=cfg.model.remat_policy
+        )
     if on_tpu:
         # Pallas flash encoder with custom-VJP backward: on for training too.
         model_cfg = dataclasses.replace(model_cfg, flash_encoder=True)

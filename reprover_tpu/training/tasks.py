@@ -211,6 +211,18 @@ def make_train_step(
     16GB chips. The caller must place the initial state with
     :func:`offload_opt_state`.
     """
+    if mesh is not None and cfg.remat and cfg.remat_policy == "offload":
+        # XLA's SPMD partitioner RET_CHECK-rejects the replicated-sharded
+        # `annotate_device_placement` custom-calls the offload policy emits
+        # around replicated gradients (spmd_partitioner.cc:5746, reproduced
+        # on jax 0.9 CPU mesh). Activation offload is a per-device memory
+        # knob (the reference's cpu_checkpointing is likewise per-rank), so
+        # fail fast rather than at compile time.
+        raise ValueError(
+            "remat_policy='offload' is single-device only (XLA SPMD "
+            "partitioner limitation); use remat_policy='lite' under a "
+            "mesh, or disable data_parallel"
+        )
 
     def make_step(grad_shardings=None, opt_in=None, opt_out=None):
         def step(state: TrainState, batch: Dict[str, jnp.ndarray]):

@@ -416,3 +416,35 @@ def test_remat_lite_policy_matches_full():
     np.testing.assert_allclose(float(l_lite), float(l_full), rtol=1e-6)
     for gf, gl in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_lite)):
         np.testing.assert_allclose(np.asarray(gl), np.asarray(gf), atol=1e-6, rtol=1e-5)
+
+
+def test_remat_offload_policy_matches_full():
+    """remat_policy='offload' (stream tagged intermediates to pinned host
+    memory — the reference cpu_checkpointing role,
+    /root/reference/retrieval/model.py:96-99) must be numerically identical
+    to full remat: offload changes where activations live, not math."""
+    import dataclasses as dc
+
+    from reprover_tpu.models.t5 import forward_loss, init_params
+
+    cfg_full = dc.replace(TINY, remat=True)
+    cfg_off = dc.replace(cfg_full, remat_policy="offload")
+    params = init_params(jax.random.PRNGKey(4), TINY)
+    rng = np.random.default_rng(29)
+    B, S, T = 2, 256, 128
+    ids = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, S)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, S)) > 0.25), jnp.int32).at[:, :4].set(1)
+    labels = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, T)), jnp.int32)
+
+    def loss(params, cfg):
+        return forward_loss(params, cfg, ids, mask, labels)
+
+    l_full, g_full = jax.jit(jax.value_and_grad(loss), static_argnums=1)(
+        params, cfg_full
+    )
+    l_off, g_off = jax.jit(jax.value_and_grad(loss), static_argnums=1)(
+        params, cfg_off
+    )
+    np.testing.assert_allclose(float(l_off), float(l_full), rtol=1e-6)
+    for gf, go in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gf), atol=1e-6, rtol=1e-5)

@@ -279,3 +279,25 @@ def test_offload_opt_state_matches_on_device():
         if hasattr(x, "sharding")
     }
     assert kinds_after == {"pinned_host"}
+
+
+def test_offload_remat_rejected_under_mesh():
+    """remat_policy='offload' + mesh must fail fast with a clear error
+    (XLA SPMD partitioner RET_CHECKs the policy's placement custom-calls)."""
+    import dataclasses as dc
+
+    import pytest
+
+    from reprover_tpu.models.t5 import T5Config
+    from reprover_tpu.parallel import make_mesh
+    from reprover_tpu.training import make_optimizer, make_train_step, retrieval_loss
+
+    cfg = dc.replace(
+        T5Config(d_model=32, d_kv=8, d_ff=64, num_heads=4,
+                 num_encoder_layers=2, num_decoder_layers=1),
+        remat=True, remat_policy="offload",
+    )
+    with pytest.raises(ValueError, match="single-device"):
+        make_train_step(
+            retrieval_loss, cfg, make_optimizer(1e-3, 10), mesh=make_mesh(data=8)
+        )

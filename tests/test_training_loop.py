@@ -210,6 +210,41 @@ class TestCliSmoke:
             preds = pickle.load(f)
         assert len(preds) == 9  # 3 splits x 3 tactics
 
+    def test_retrieval_fit_offload_remat(
+        self, toy_corpus_path, toy_dataset_dir, tmp_path
+    ):
+        """--model.remat_policy offload (activations streamed to pinned host
+        memory — the reference cpu_checkpointing knob,
+        /root/reference/retrieval/model.py:96-99) trains through the CLI.
+        Single-device (--data_parallel false): the offload policy is
+        per-device by design — make_train_step rejects it under a mesh."""
+        from reprover_tpu.retrieval.main import main
+
+        log_dir = str(tmp_path / "logs")
+        main([
+            "fit",
+            "--model.tiny", "true",
+            "--model.remat", "true",
+            "--model.remat_policy", "offload",
+            "--data_parallel", "false",
+            "--model.num_retrieved", "4",
+            "--data.data_path", toy_dataset_dir,
+            "--data.corpus_path", toy_corpus_path,
+            "--data.batch_size", "2",
+            "--data.eval_batch_size", "2",
+            "--data.max_seq_len", "256",
+            "--data.num_negatives", "2",
+            "--data.num_in_file_negatives", "1",
+            "--trainer.max_steps", "2",
+            "--trainer.val_interval", "99",
+            "--trainer.log_interval", "1",
+            "--log_dir", log_dir,
+        ])
+        with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(l) for l in losses)
+
     def test_retrieval_fit_infonce(
         self, toy_corpus_path, toy_dataset_dir, tmp_path
     ):
