@@ -85,7 +85,7 @@ def make_data():
 
 def run_cell(
     model, val, num_workers, max_batch, window_ms, num_theorems=24,
-    streaming=False, num_slots=8, chunk_size=8,
+    streaming=False, num_slots=8, chunk_size=8, step_buckets=None,
 ):
     from reprover_tpu.prover import (
         FixedTacticGenerator,
@@ -97,7 +97,8 @@ def run_cell(
 
     if streaming:
         service = StreamingInferenceService(
-            model, num_slots=num_slots, num_beams=64, chunk_size=chunk_size
+            model, num_slots=num_slots, num_beams=64, chunk_size=chunk_size,
+            step_buckets=step_buckets,
         )
     else:
         service = InferenceService(
@@ -131,6 +132,7 @@ def run_cell(
     window = stats.pop("last_resp_ts", wall) - stats.pop("first_req_ts", 0.0)
     log(
         mode="streaming" if streaming else "coalescing",
+        buckets=step_buckets if streaming else None,
         slots=num_slots if streaming else None,
         chunk=chunk_size if streaming else None,
         workers=num_workers,
@@ -222,10 +224,15 @@ def main():
         coalescing_cells = ()
     for num_workers, max_batch, window_ms in coalescing_cells:
         run_cell(model, val, num_workers, max_batch, window_ms)
+    # Length-bucketed stepping: decode-depth buckets for the per-beam KV
+    # caches (dec len is 128, +1 start for causal); quarters of the range.
+    T = 129 if causal else 128
+    buckets = tuple(sorted({32, 64, 96, T}))
     for num_workers, num_slots, chunk in streaming_cells:
         run_cell(
             model, val, num_workers, 0, 0.0, streaming=True,
             num_slots=num_slots, chunk_size=chunk,
+            step_buckets=buckets if "--buckets" in sys.argv else None,
         )
 
 

@@ -287,6 +287,8 @@ class CausalStepwiseEngine(StepwiseEngineBase):
     final real token (the beam-search start token).
     """
 
+    _bucket_cache_fields = ("dec_k", "dec_v")
+
     def __init__(
         self,
         params: Params,
@@ -298,6 +300,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         length_penalty: float = 0.0,
         chunk_size: int = 8,
         mesh: Any = None,
+        step_buckets: Any = None,
     ) -> None:
         self.cfg = cfg
         if mesh is not None:
@@ -321,7 +324,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
             )
         super().__init__(
             params, num_slots, num_beams, max_src_len, max_decode_len,
-            length_penalty, chunk_size, mesh=mesh,
+            length_penalty, chunk_size, mesh=mesh, step_buckets=step_buckets,
         )
 
     # -- base hooks ---------------------------------------------------- #

@@ -162,13 +162,14 @@ class CausalTacticGeneratorModel:
 
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
-        mesh: Any = None,
+        mesh: Any = None, step_buckets: Any = None,
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 
         ``mesh`` enables tensor-parallel serving over its ``model`` axis
         (the vLLM ``tensor_parallel_size`` role,
-        `/root/reference/prover/proof_search.py:345`)."""
+        `/root/reference/prover/proof_search.py:345`). ``step_buckets``
+        enables length-bucketed stepping (see ``StepwiseEngineBase``)."""
         from reprover_tpu.generation.causal_engine import CausalStepwiseEngine
 
         return CausalStepwiseEngine(
@@ -183,6 +184,7 @@ class CausalTacticGeneratorModel:
             length_penalty=self.length_penalty,
             chunk_size=chunk_size,
             mesh=mesh,
+            step_buckets=step_buckets,
         )
 
     def tokenize_for_engine(

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -411,6 +411,11 @@ class StepwiseEngineBase:
     "feed last token, get logits" plugs into the same serving loop.
     """
 
+    #: State fields holding per-beam KV caches with a decode-length axis at
+    #: position -2 ([L, S, K, H, T, d]) — the tensors ``step_buckets``
+    #: length-slices. Subclasses with such caches override this.
+    _bucket_cache_fields: Tuple[str, ...] = ()
+
     def __init__(
         self,
         params: Params,
@@ -421,13 +426,23 @@ class StepwiseEngineBase:
         length_penalty: float = 0.0,
         chunk_size: int = 8,
         mesh: Optional[jax.sharding.Mesh] = None,
+        step_buckets: Optional[Sequence[int]] = None,
     ) -> None:
         """``mesh`` enables tensor-parallel serving (the reference's vLLM
         ``tensor_parallel_size`` role, `/root/reference/prover/proof_search.py:345`):
         params are sharded with Megatron specs over the mesh's ``model``
         axis and the engine KV caches over their head axis, so one engine
         serves a model larger than a single chip's HBM. Subclasses shard
-        ``params`` before calling here and provide ``_state_shardings``."""
+        ``params`` before calling here and provide ``_state_shardings``.
+
+        ``step_buckets`` (ascending ints ending at ``max_decode_len``)
+        enables length-bucketed stepping: each decode step runs on the
+        per-beam KV caches sliced to the smallest bucket covering the
+        deepest *working* slot, so beam-reorder and self-attention HBM
+        traffic scale with actual decode depth instead of the max-length
+        allocation. Exact — untouched columns are never read (attention
+        masks ≥ position; frozen slots neither advance nor re-read their
+        appended column). Costs one compiled step variant per bucket."""
         self.params = params
         self.num_slots = num_slots
         self.num_beams = num_beams
@@ -436,6 +451,18 @@ class StepwiseEngineBase:
         self.length_penalty = length_penalty
         self.chunk_size = chunk_size
         self.mesh = mesh
+        if step_buckets is not None:
+            step_buckets = tuple(int(b) for b in step_buckets)
+            assert self._bucket_cache_fields, (
+                type(self).__name__ + " has no bucketable caches"
+            )
+            assert all(
+                a < b for a, b in zip(step_buckets, step_buckets[1:])
+            ) and step_buckets[-1] == max_decode_len, (
+                f"step_buckets must ascend and end at max_decode_len: "
+                f"{step_buckets}"
+            )
+        self.step_buckets = step_buckets
         self._shardings = self._state_shardings() if mesh is not None else None
         self.state = self._place(self._init_state())
         self._build_programs()
@@ -466,9 +493,64 @@ class StepwiseEngineBase:
 
     # -- device programs ----------------------------------------------- #
 
+    def _bucketed_step(self, step: Any) -> Any:
+        """Wrap ``step`` in a ``lax.switch`` over cache-length buckets.
+
+        Each branch slices the per-beam KV caches (``_bucket_cache_fields``,
+        T axis at -2) to its bucket, runs the step on the short caches, and
+        writes the result back with an offset-0 ``dynamic_update_slice`` —
+        so reorder-append and self-attention touch only the live prefix.
+        The bucket is the smallest covering ``max(n)`` over *working* slots
+        (frozen slots never advance nor re-read their appended column, so
+        leaving their deep columns untouched is exact; see
+        ``test_engine.py::test_bucketed_engine_exact_parity``)."""
+        buckets = self.step_buckets
+        fields = self._bucket_cache_fields
+        thresholds = jnp.asarray(buckets, jnp.int32)
+        T = self.max_decode_len
+
+        def make_branch(B: int) -> Any:
+            def branch(params: Params, state: Any) -> Any:
+                short = dataclasses.replace(
+                    state,
+                    **{
+                        f: jax.lax.slice_in_dim(
+                            getattr(state, f), 0, B, axis=-2
+                        )
+                        for f in fields
+                    },
+                )
+                out = step(params, short)
+                zeros = (0,) * getattr(state, fields[0]).ndim
+                return dataclasses.replace(
+                    out,
+                    **{
+                        f: jax.lax.dynamic_update_slice(
+                            getattr(state, f), getattr(out, f), zeros
+                        )
+                        for f in fields
+                    },
+                )
+
+            return branch
+
+        branches = [make_branch(B) for B in buckets]
+
+        def bucketed(params: Params, state: Any) -> Any:
+            working = state.active & ~state.done & (state.n < T)
+            need = jnp.max(jnp.where(working, state.n, 1))
+            idx = jnp.searchsorted(thresholds, need)
+            return jax.lax.switch(
+                idx, [lambda s, b=b: b(params, s) for b in branches], state
+            )
+
+        return bucketed
+
     def _build_programs(self) -> None:
         T = self.max_decode_len
         step = self._step_program
+        if self.step_buckets is not None:
+            step = self._bucketed_step(step)
         admit = self._admit_program
 
         # TP mode: pin the engine-state outputs to the head-sharded layout
@@ -798,6 +880,8 @@ class StepwiseBeamEngine(StepwiseEngineBase):
     per (slot, beam) with per-slot positions.
     """
 
+    _bucket_cache_fields = ("self_k", "self_v")
+
     def __init__(
         self,
         params: Params,
@@ -809,6 +893,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         length_penalty: float = 0.0,
         chunk_size: int = 8,
         mesh: Optional[jax.sharding.Mesh] = None,
+        step_buckets: Optional[Sequence[int]] = None,
     ) -> None:
         self.cfg = cfg
         if mesh is not None:
@@ -832,7 +917,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
             )
         super().__init__(
             params, num_slots, num_beams, max_src_len, max_decode_len,
-            length_penalty, chunk_size, mesh=mesh,
+            length_penalty, chunk_size, mesh=mesh, step_buckets=step_buckets,
         )
 
         def admit_fn(

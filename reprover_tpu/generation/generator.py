@@ -174,13 +174,14 @@ class TacticGeneratorModel:
 
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
-        mesh: Any = None,
+        mesh: Any = None, step_buckets: Any = None,
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 
         ``mesh`` enables tensor-parallel serving over its ``model`` axis
         (the vLLM ``tensor_parallel_size`` role,
-        `/root/reference/prover/proof_search.py:345`)."""
+        `/root/reference/prover/proof_search.py:345`). ``step_buckets``
+        enables length-bucketed stepping (see ``StepwiseEngineBase``)."""
         from reprover_tpu.generation.engine import StepwiseBeamEngine
         from reprover_tpu.tokenizer import round_to_bucket
 
@@ -196,6 +197,7 @@ class TacticGeneratorModel:
             length_penalty=self.length_penalty,
             chunk_size=chunk_size,
             mesh=mesh,
+            step_buckets=step_buckets,
         )
 
     def tokenize_for_engine(

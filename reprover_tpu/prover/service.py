@@ -241,11 +241,16 @@ class StreamingInferenceService(InferenceService):
         chunk_burst: int = 4,
         pipeline_depth: int = 4,
         mesh: Any = None,
+        step_buckets: Any = None,
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.chunk_size = chunk_size
+        # Length-bucketed stepping (see StepwiseEngineBase.step_buckets):
+        # per-beam cache reorder/attention traffic scales with the deepest
+        # working slot's decode depth instead of max_decode_len.
+        self.step_buckets = step_buckets
         # Tensor-parallel serving: the engine shards the model (Megatron
         # specs) and its KV caches over ``mesh``'s `model` axis — the
         # reference's vLLM `tensor_parallel_size=num_gpus`
@@ -282,7 +287,7 @@ class StreamingInferenceService(InferenceService):
         # causal LM) builds its own engine family and owns tokenization.
         self._engine = self.generator.make_stepwise_engine(
             self.num_slots, self.num_beams, chunk_size=self.chunk_size,
-            mesh=self.mesh,
+            mesh=self.mesh, step_buckets=self.step_buckets,
         )
 
     def _admit_wave(self, slots: List[int], states: List[str]) -> None:

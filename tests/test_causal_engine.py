@@ -150,3 +150,23 @@ def test_streaming_service_serves_causal_model(setup):
             _assert_same(results[4 * w + i], classic[texts[i]])
     snap = svc.stats_snapshot()
     assert snap["admissions"] == 8 and snap["requests"] == 8
+
+
+def test_bucketed_causal_engine_exact_parity(setup):
+    """Length-bucketed stepping is bit-exact for the decoder-only engine
+    too (prompt cache untouched; only the per-beam decode caches slice)."""
+    params, model, texts, classic = setup
+    engine = model.make_stepwise_engine(
+        num_slots=2, num_beams=K, chunk_size=2,
+        step_buckets=(4, TDEC + 1),
+    )
+    _admit_wave(engine, model, [0], [texts[0]])
+    engine.run_chunk()  # stagger: slot 0 deeper than slot 1 at admit
+    _admit_wave(engine, model, [1], [texts[1]])
+    results = _collect(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])
+
+    _admit_wave(engine, model, [0], [texts[2]])
+    results = _collect(engine, model)
+    _assert_same(results[0], classic[texts[2]])

@@ -408,3 +408,27 @@ def test_streaming_service_oversubscribed(setup):
             _assert_same(results[4 * w + i], classic[texts[i]])
     snap = svc.stats_snapshot()
     assert snap["admissions"] == 12 and snap["requests"] == 12
+
+
+def test_bucketed_engine_exact_parity(setup):
+    """step_buckets (length-bucketed stepping: reorder/attention run on the
+    caches sliced to the smallest bucket covering the deepest working slot)
+    must be bit-exact with the classic path, including staggered admissions
+    that keep slots at different depths across bucket boundaries."""
+    params, model, texts, classic = setup
+    engine = StepwiseBeamEngine(
+        params, CFG, num_slots=2, num_beams=K,
+        max_src_len=SMAX, max_decode_len=TDEC, chunk_size=2,
+        step_buckets=(4, 8, TDEC),
+    )
+    _admit_text(engine, model, 0, texts[0])
+    engine.run_chunk()  # slot 0 crosses into a deeper bucket than slot 1
+    _admit_text(engine, model, 1, texts[1])
+    results = _collect(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])
+
+    # slot reuse after finalize re-enters the smallest bucket
+    _admit_text(engine, model, 0, texts[2])
+    results = _collect(engine, model)
+    _assert_same(results[0], classic[texts[2]])
