@@ -1,0 +1,178 @@
+"""Residual profile of the headline embed bench (VERDICT round-2 weak #5).
+
+`bench.py` records byt5-small embedding throughput at ~59% MFU. This tool
+attributes the remaining 41%: it times (a) the full embed step, (b) the
+encoder's dense matmuls alone at their exact shapes, (c) the flash
+attention alone, and (d) a pure-matmul calibration at the same shapes —
+the chip's *attainable* ceiling for this workload, which is below the
+datasheet peak for narrow-K shapes like byt5's qkv ([*,1472]x[1472,384]).
+
+Prints a JSON budget: if the dense calibration itself runs at ~X% of
+peak, then the embed bench running near X% is at its roofline and the
+vs_baseline number is honest; any gap between (a) and the sum of (b)+(c)
+is dispatch/fusion overhead worth chasing.
+
+Run on the real TPU: python benchmarks/embed_profile.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=64)
+_ap.add_argument("--seq", type=int, default=1024)
+_ap.add_argument("--iters", type=int, default=8)
+_ap.add_argument("--reps", type=int, default=3)
+_ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
+
+B, L = _ARGS.batch, _ARGS.seq
+V5E_PEAK_TFLOPS = 197.0  # bf16
+
+
+def _fence(x) -> None:
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
+
+
+def timed(fn, *args) -> float:
+    """Best wall ms over reps of one jitted call (compile excluded)."""
+    f = jax.jit(fn)
+    out = f(*args)
+    _fence(out)
+    best = float("inf")
+    for _ in range(_ARGS.reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        _fence(out)
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best
+
+
+def main() -> None:
+    from reprover_tpu.models.t5 import (
+        byt5_small,
+        encode,
+        fuse_mlp_params,
+        init_params,
+    )
+    from reprover_tpu.ops import masked_mean_normalize
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = byt5_small(
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        flash_encoder=on_tpu,
+        unroll_encoder=on_tpu,
+    )
+    params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
+    params = jax.tree.map(lambda x: x.astype(cfg.compute_dtype), params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.ones((B, L), jnp.int32)
+
+    res: dict = {"batch": B, "seq": L}
+
+    # (a) full embed step, iterated on-device to amortize dispatch
+    def embed_n(p, i, m):
+        def body(_, __):
+            return None, masked_mean_normalize(encode(p, cfg, i, m), m)
+
+        _, out = jax.lax.scan(body, None, None, length=_ARGS.iters)
+        return out
+
+    ms = timed(embed_n, params, ids, mask) / _ARGS.iters
+    res["embed_ms"] = round(ms, 3)
+    # FLOPs per example through the encoder (dense + attention)
+    D, I, F, H, d = cfg.d_model, cfg.inner_dim, cfg.d_ff, cfg.num_heads, cfg.d_kv
+    nl = cfg.num_encoder_layers
+    dense_flops = nl * L * 2 * (4 * D * I + 3 * D * F)
+    attn_flops = nl * 2 * 2 * H * L * L * d
+    total = (dense_flops + attn_flops) * B
+    res["tflops_per_batch"] = round(total / 1e12, 3)
+    res["embed_mfu_pct"] = round(
+        100 * total / (ms / 1e3) / (V5E_PEAK_TFLOPS * 1e12), 1
+    )
+    res["premises_per_sec"] = round(B / (ms / 1e3), 1)
+
+    # (b) the dense chain alone at exact shapes (qkv, o, fused gate|up, down)
+    x = jnp.asarray(rng.standard_normal((B * L, D)), cfg.compute_dtype)
+    wq = jnp.asarray(rng.standard_normal((D, I)), cfg.compute_dtype)
+    wo = jnp.asarray(rng.standard_normal((I, D)), cfg.compute_dtype)
+    wg = jnp.asarray(rng.standard_normal((D, 2 * F)), cfg.compute_dtype)
+    wd = jnp.asarray(rng.standard_normal((F, D)), cfg.compute_dtype)
+
+    def dense_chain(x, wq, wo, wg, wd):
+        def body(h, _):
+            q = h @ wq
+            k = h @ wq
+            v = h @ wq
+            h = h + (q * k[:, :1] + v) @ wo  # stand-in mix, same matmul shapes
+            gu = h @ wg
+            g, u = gu[:, :F], gu[:, F:]
+            h = h + (jax.nn.gelu(g) * u) @ wd
+            return h, None
+
+        h, _ = jax.lax.scan(body, x, None, length=nl)
+        return h
+
+    ms_dense = timed(dense_chain, x, wq, wo, wg, wd)
+    res["dense_chain_ms"] = round(ms_dense, 3)
+    res["dense_chain_mfu_pct"] = round(
+        100 * dense_flops * B / (ms_dense / 1e3) / (V5E_PEAK_TFLOPS * 1e12), 1
+    )
+
+    # (c) big-square calibration: the chip's practical matmul ceiling
+    a = jnp.asarray(rng.standard_normal((8192, 8192)), cfg.compute_dtype)
+
+    def square(a):
+        def body(h, _):
+            return h @ a, None
+
+        h, _ = jax.lax.scan(body, a, None, length=8)
+        return h
+
+    ms_sq = timed(square, a)
+    sq_flops = 8 * 2 * 8192**3
+    res["square8192_mfu_pct"] = round(
+        100 * sq_flops / (ms_sq / 1e3) / (V5E_PEAK_TFLOPS * 1e12), 1
+    )
+
+    # (d) flash attention alone (the production encoder kernel)
+    if on_tpu:
+        from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+        q = jnp.asarray(rng.standard_normal((B, L, I)), cfg.compute_dtype)
+        rel_bias = jnp.asarray(
+            rng.standard_normal((cfg.relative_attention_num_buckets, H)),
+            jnp.float32,
+        )
+
+        def attn_n(q, mask, rel_bias):
+            def body(h, _):
+                return encoder_flash_attention(h, h, h, mask, rel_bias, H), None
+
+            h, _ = jax.lax.scan(body, q, None, length=nl)
+            return h
+
+        ms_attn = timed(attn_n, q, mask, rel_bias)
+        res["flash_attn_ms"] = round(ms_attn, 3)
+        res["flash_attn_mfu_pct"] = round(
+            100 * attn_flops * B / (ms_attn / 1e3) / (V5E_PEAK_TFLOPS * 1e12), 1
+        )
+
+    res["unattributed_ms"] = round(
+        res["embed_ms"]
+        - res["dense_chain_ms"]
+        - res.get("flash_attn_ms", 0.0),
+        3,
+    )
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()

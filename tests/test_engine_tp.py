@@ -226,3 +226,21 @@ def test_tp_rejects_indivisible_heads():
             params, dataclasses.replace(cfg6, num_heads=6), num_slots=1,
             num_beams=K, max_src_len=SMAX, max_decode_len=TDEC, mesh=mesh,
         )
+
+
+def test_t5_tp_bucketed_engine_matches_classic(t5_setup):
+    """TP x length-bucketed stepping: the lax.switch bucket branches slice
+    head-sharded KV caches — sharding propagation through the switch must
+    preserve exact beam results."""
+    model, texts, classic = t5_setup
+    mesh = make_mesh(data=1, model=8)
+    engine = model.make_stepwise_engine(
+        num_slots=2, num_beams=K, chunk_size=2, mesh=mesh,
+        step_buckets=(4, TDEC),
+    )
+    _admit_t5_wave(engine, model, [0], [texts[0]])
+    engine.run_chunk()  # slot 0 deeper than slot 1 across a bucket edge
+    _admit_t5_wave(engine, model, [1], [texts[1]])
+    results = _collect_t5(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])
