@@ -96,21 +96,6 @@ def main() -> None:
         (res["fwdbwd_ms"] - res["fwd_ms"]) / res["fwd_ms"], 2
     )
 
-    # full step (optimizer included)
-    tx = make_optimizer(1e-4, 10)
-    state = init_train_state(params, tx)
-    step = make_train_step(generation_loss, cfg, tx)
-    s2, loss = step(state, batch)
-    fence(loss)
-    best = float("inf")
-    for _ in range(_ARGS.reps):
-        t0 = time.perf_counter()
-        s2, loss = step(s2, batch)
-        fence(loss)
-        best = min(best, (time.perf_counter() - t0) * 1e3)
-    res["step_ms"] = round(best, 1)
-    res["optimizer_ms"] = round(res["step_ms"] - res["fwdbwd_ms"], 1)
-
     # encoder-only fwd and fwd+bwd (grad wrt params through a sum readout)
     enc_fwd = jax.jit(
         lambda p, i, m: jnp.sum(
@@ -129,6 +114,21 @@ def main() -> None:
         timed(enc_bwd, params, batch["state_ids"], batch["state_mask"]), 1
     )
     res["decoder_share_ms"] = round(res["fwdbwd_ms"] - res["enc_fwdbwd_ms"], 1)
+
+    # full step LAST: the donated train state consumes the param buffers
+    tx = make_optimizer(1e-4, 10)
+    state = init_train_state(params, tx)
+    step = make_train_step(generation_loss, cfg, tx)
+    s2, loss = step(state, batch)
+    fence(loss)
+    best = float("inf")
+    for _ in range(_ARGS.reps):
+        t0 = time.perf_counter()
+        s2, loss = step(s2, batch)
+        fence(loss)
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    res["step_ms"] = round(best, 1)
+    res["optimizer_ms"] = round(res["step_ms"] - res["fwdbwd_ms"], 1)
 
     # MFU at the measured full step
     D, I, F, H, d = cfg.d_model, cfg.inner_dim, cfg.d_ff, cfg.num_heads, cfg.d_kv
