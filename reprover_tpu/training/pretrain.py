@@ -24,7 +24,7 @@ import json
 import logging
 import os
 import sys
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Any, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -262,7 +262,7 @@ class PretrainConfig:
     data_parallel: bool = True
 
 
-def _default_trainer():
+def _default_trainer() -> TrainerConfig:
     return TrainerConfig(
         max_steps=100_000,
         val_interval=2_000,
@@ -382,7 +382,7 @@ def run_fit(cfg: PretrainConfig) -> None:
         export(state.params, model_cfg, cfg.export_dir)
 
 
-def export(params, model_cfg, out_dir: str) -> None:
+def export(params: Dict, model_cfg: Any, out_dir: str) -> None:
     """HF-layout export so the fine-tune CLIs consume the pretrained init
     via ``--model.model_name <out_dir>`` (their local-directory path)."""
     import jax
