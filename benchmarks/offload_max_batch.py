@@ -30,7 +30,7 @@ def fence(x):
     np.asarray(jax.device_get(jax.tree.leaves(x)[0].ravel()[:1]))
 
 
-def try_batch(b, offload, steps=4):
+def try_batch(b, offload, steps=4, remat_policy="full"):
     rng = np.random.default_rng(0)
     L = 1024
     batch = {
@@ -40,7 +40,10 @@ def try_batch(b, offload, steps=4):
         "premise_mask": jnp.ones((b * 4, L), jnp.int32),
         "label": jnp.zeros((b, b * 4), jnp.float32),
     }
-    cfg = byt5_small(compute_dtype=jnp.bfloat16, remat=True, flash_encoder=True)
+    cfg = byt5_small(
+        compute_dtype=jnp.bfloat16, remat=True, flash_encoder=True,
+        remat_policy=remat_policy,
+    )
     params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
     tx = make_optimizer(1e-4, 10)
     state = init_train_state(params, tx)
@@ -57,35 +60,44 @@ def try_batch(b, offload, steps=4):
 
 
 def main():
-    for offload in (False, True):
-        for b in (8, 16, 24, 32, 48):
-            try:
-                dt = try_batch(b, offload)
-                print(
-                    json.dumps(
-                        {
-                            "mode": "offload" if offload else "device",
-                            "batch": b,
-                            "sec_per_step": round(dt, 3),
-                            "examples_per_sec": round(b / dt, 2),
-                            "ok": True,
-                        }
-                    ),
-                    flush=True,
-                )
-            except Exception as ex:
-                print(
-                    json.dumps(
-                        {
-                            "mode": "offload" if offload else "device",
-                            "batch": b,
-                            "ok": False,
-                            "error": repr(ex)[:200],
-                        }
-                    ),
-                    flush=True,
-                )
-                break  # bigger batches will also OOM
+    import sys
+
+    # --policies adds the remat-policy axis: "full" recomputes, "lite"
+    # saves fat intermediates in HBM (fastest, most memory), "offload"
+    # streams them to pinned host (the reference cpu_checkpointing role:
+    # full-remat memory at lite-like recompute savings, if host DMA keeps up).
+    policies = (
+        ("full", "lite", "offload") if "--policies" in sys.argv else ("full",)
+    )
+    for policy in policies:
+        for offload in (False, True):
+            for b in (8, 16, 24, 32, 48):
+                tag = {
+                    "mode": "offload" if offload else "device",
+                    "remat_policy": policy,
+                    "batch": b,
+                }
+                try:
+                    dt = try_batch(b, offload, remat_policy=policy)
+                    print(
+                        json.dumps(
+                            {
+                                **tag,
+                                "sec_per_step": round(dt, 3),
+                                "examples_per_sec": round(b / dt, 2),
+                                "ok": True,
+                            }
+                        ),
+                        flush=True,
+                    )
+                except Exception as ex:
+                    print(
+                        json.dumps(
+                            {**tag, "ok": False, "error": repr(ex)[:200]}
+                        ),
+                        flush=True,
+                    )
+                    break  # bigger batches will also OOM
 
 
 if __name__ == "__main__":

@@ -36,6 +36,31 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e9)
 
 
+def topk_candidates(
+    cand: jnp.ndarray, k2: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact top-``k2`` over the flattened (beam, token) candidates.
+
+    ``cand`` is [B, K, V] (beam score + token logprob). Decomposed as a
+    per-beam top-``min(k2, V)`` followed by a top-``k2`` over the K·min(k2,V)
+    survivors — any global top-k2 candidate is within its own beam's top-k2,
+    so this is EXACT, including tie order: ``lax.top_k`` breaks ties by
+    lowest index, per-beam sorting keeps equal scores in token order, and
+    the survivor layout is beam-major, so ties resolve (beam, token)-first
+    exactly like the flat [B, K*V] top_k — while sorting K small rows
+    instead of one K·V-wide row (V can be 32k+ for causal-LM vocabularies).
+
+    Returns (scores [B, k2] descending, parent beam [B, k2], token [B, k2]).
+    """
+    B, K, V = cand.shape
+    m = min(k2, V)
+    s1, i1 = jax.lax.top_k(cand, m)  # [B, K, m]
+    scores, pos = jax.lax.top_k(s1.reshape(B, K * m), k2)
+    parent = pos // m
+    token = jnp.take_along_axis(i1.reshape(B, K * m), pos, axis=1)
+    return scores, parent, token
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class BeamSearchResult:
@@ -117,12 +142,9 @@ def beam_search(
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         V = logp.shape[-1]
 
-        cand = (s["beam_scores"][:, :, None] + logp.reshape(B, K, V)).reshape(
-            B, K * V
-        )
-        cand_scores, cand_idx = jax.lax.top_k(cand, 2 * K)  # [B, 2K] sorted
-        parent = cand_idx // V
-        token = cand_idx % V
+        cand_scores, parent, token = topk_candidates(
+            s["beam_scores"][:, :, None] + logp.reshape(B, K, V), 2 * K
+        )  # [B, 2K] sorted
         is_eos = token == eos_id
 
         # --- continuing beams: best K non-eos candidates (in sorted order).

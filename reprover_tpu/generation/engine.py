@@ -53,6 +53,8 @@ from reprover_tpu.models.t5 import (
     rms_norm,
 )
 
+from reprover_tpu.generation.beam_search import topk_candidates
+
 NEG_INF = jnp.float32(-1e9)
 
 
@@ -286,12 +288,10 @@ def advance_beams(
     n = state.n  # [S]
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    V = logp.shape[-1]
 
-    cand = (state.beam_scores[:, :, None] + logp).reshape(S, K * V)
-    cand_scores, cand_idx = jax.lax.top_k(cand, 2 * K)
-    parent = cand_idx // V
-    token = cand_idx % V
+    cand_scores, parent, token = topk_candidates(
+        state.beam_scores[:, :, None] + logp, 2 * K
+    )
     is_eos = token == eos_id
 
     cont_scores, cont_pos = jax.lax.top_k(

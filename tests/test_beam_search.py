@@ -158,3 +158,33 @@ def test_generator_model_generate(hf_ckpt):
     for row in out:
         scores = [s for _, s in row]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_topk_candidates_matches_flat_topk():
+    """The two-stage (per-beam then global) top-2K must be identical to the
+    flat [B, K*V] top_k — scores, parents, tokens, AND tie order (equal
+    scores resolve (beam, token)-first in both). Exercised with heavy ties:
+    quantized scores and -inf dead-beam rows."""
+    import jax
+    import numpy as np
+
+    from reprover_tpu.generation.beam_search import NEG_INF, topk_candidates
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        B, K, V = 3, 4, rng.integers(6, 40)
+        k2 = 2 * K
+        cand = rng.standard_normal((B, K, V))
+        if trial % 2:  # quantize -> many exact ties
+            cand = np.round(cand * 2) / 2
+        if trial % 3 == 0:  # dead beams (start-of-search shape)
+            cand[:, 1:, :] = float(NEG_INF)
+        cand = jnp.asarray(cand, jnp.float32)
+
+        flat_scores, flat_idx = jax.lax.top_k(
+            cand.reshape(B, K * int(V)), k2
+        )
+        scores, parent, token = topk_candidates(cand, k2)
+        np.testing.assert_array_equal(np.asarray(scores), np.asarray(flat_scores))
+        np.testing.assert_array_equal(np.asarray(parent), np.asarray(flat_idx) // int(V))
+        np.testing.assert_array_equal(np.asarray(token), np.asarray(flat_idx) % int(V))
