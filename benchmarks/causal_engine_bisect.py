@@ -24,12 +24,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--iters", type=int, default=64, help="steps per timed program")
