@@ -208,7 +208,13 @@ def main():
         corpus_path=CORPUS, preds_path=preds_path,
     )
     gdm.setup("fit")
-    gparams = init_params(jax.random.PRNGKey(1), cfg)
+    if _ARGS.init_hf:
+        from reprover_tpu.models import load_hf_t5
+
+        gparams, _ = load_hf_t5(_ARGS.init_hf)
+        log(stage="generator_init", source=_ARGS.init_hf)
+    else:
+        gparams = init_params(jax.random.PRNGKey(1), cfg)
     gtx = make_optimizer(3e-4, 200)
     gstate = init_train_state(gparams, gtx)
     gstep = make_train_step(generation_loss, cfg, gtx)
