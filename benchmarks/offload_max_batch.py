@@ -7,6 +7,12 @@ v5e. The offload flag streams the Adam moments through pinned_host
 Prints one JSON line per (mode, batch) attempt.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import time
 

@@ -17,6 +17,12 @@ benchmarks/synthetic_reference_scale.py):
 Run (one v5e):  PYTHONPATH=. python benchmarks/pretrain_then_finetune.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

@@ -6,6 +6,12 @@ Reference training configs (`/root/reference/retrieval/confs/cli_lean4_random.ya
 real TPU; prints one line per (task, attention) cell.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np

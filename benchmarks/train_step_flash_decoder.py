@@ -6,6 +6,12 @@ Cells: flash encoder only (round-2 best) vs flash encoder + flash decoder
 (causal self + cross Pallas kernels, fwd+bwd). Run on the real TPU.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import numpy as np
