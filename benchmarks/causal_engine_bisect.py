@@ -136,20 +136,22 @@ def causal_budget() -> dict:
 
     res = {}
 
-    # total: the production step
-    def full_step(st):
-        return causal_engine_step(params, cfg, st, 0.0)
+    # total: the production step.  params rides as a jit ARGUMENT —
+    # closed-over arrays would be embedded in the HLO as constants and the
+    # axon remote-compile upload rejects bodies that large (HTTP 413).
+    def full_step(st, prm):
+        return causal_engine_step(prm, cfg, st, 0.0)
 
-    res["step_total_ms"] = time_program(full_step, state)
+    res["step_total_ms"] = time_program(full_step, state, params)
 
     # forward only (logits + fresh KV columns); chain via last_token
-    def fwd_only(st):
-        logits, k_news, v_news = _causal_decode_step(params, cfg, st)
+    def fwd_only(st, prm):
+        logits, k_news, v_news = _causal_decode_step(prm, cfg, st)
         return dataclasses.replace(
             st, last_token=jnp.argmax(logits, -1).astype(jnp.int32)
         )
 
-    res["decode_fwd_ms"] = time_program(fwd_only, state)
+    res["decode_fwd_ms"] = time_program(fwd_only, state, params)
 
     # beam advance on fixed logits
     logits0 = jax.random.normal(
@@ -241,18 +243,18 @@ def t5_budget() -> dict:
 
     res = {}
 
-    def full_step(st):
-        return engine_step(params, cfg, st, 0.0)
+    def full_step(st, prm):
+        return engine_step(prm, cfg, st, 0.0)
 
-    res["step_total_ms"] = time_program(full_step, state)
+    res["step_total_ms"] = time_program(full_step, state, params)
 
-    def fwd_only(st):
-        logits, k_news, v_news = _engine_decode_step(params, cfg, st)
+    def fwd_only(st, prm):
+        logits, k_news, v_news = _engine_decode_step(prm, cfg, st)
         return dataclasses.replace(
             st, last_token=jnp.argmax(logits, -1).astype(jnp.int32)
         )
 
-    res["decode_fwd_ms"] = time_program(fwd_only, state)
+    res["decode_fwd_ms"] = time_program(fwd_only, state, params)
 
     logits0 = jax.random.normal(
         jax.random.PRNGKey(3), (S, K, cfg.vocab_size), jnp.float32
