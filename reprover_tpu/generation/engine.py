@@ -436,13 +436,15 @@ class StepwiseEngineBase:
         ``params`` before calling here and provide ``_state_shardings``.
 
         ``step_buckets`` (ascending ints ending at ``max_decode_len``)
-        enables length-bucketed stepping: each decode step runs on the
-        per-beam KV caches sliced to the smallest bucket covering the
-        deepest *working* slot, so beam-reorder and self-attention HBM
-        traffic scale with actual decode depth instead of the max-length
-        allocation. Exact — untouched columns are never read (attention
-        masks ≥ position; frozen slots neither advance nor re-read their
-        appended column). Costs one compiled step variant per bucket."""
+        enables length-bucketed stepping: each run-until-event chunk runs
+        on the per-beam KV caches sliced to the smallest bucket covering
+        the deepest possibly-working slot for the whole chunk (chosen
+        host-side from a conservative fill bound), so beam-reorder and
+        self-attention HBM traffic scale with actual decode depth instead
+        of the max-length allocation. Exact — untouched columns are never
+        read (attention masks ≥ position; frozen slots neither advance nor
+        re-read their appended column). Costs one compiled chunk variant
+        per bucket."""
         self.params = params
         self.num_slots = num_slots
         self.num_beams = num_beams
@@ -463,6 +465,11 @@ class StepwiseEngineBase:
                 f"{step_buckets}"
             )
         self.step_buckets = step_buckets
+        # Conservative host-side upper bound on each slot's fill n: bumped
+        # by max_steps at every dispatch, reset on admit/finalize/release.
+        # Actual n never exceeds it (a chunk advances a slot by at most
+        # max_steps), so the bucket chosen from it always covers the chunk.
+        self._n_ub = np.zeros(num_slots, np.int64)
         self._shardings = self._state_shardings() if mesh is not None else None
         self.state = self._place(self._init_state())
         self._build_programs()
@@ -493,64 +500,9 @@ class StepwiseEngineBase:
 
     # -- device programs ----------------------------------------------- #
 
-    def _bucketed_step(self, step: Any) -> Any:
-        """Wrap ``step`` in a ``lax.switch`` over cache-length buckets.
-
-        Each branch slices the per-beam KV caches (``_bucket_cache_fields``,
-        T axis at -2) to its bucket, runs the step on the short caches, and
-        writes the result back with an offset-0 ``dynamic_update_slice`` —
-        so reorder-append and self-attention touch only the live prefix.
-        The bucket is the smallest covering ``max(n)`` over *working* slots
-        (frozen slots never advance nor re-read their appended column, so
-        leaving their deep columns untouched is exact; see
-        ``test_engine.py::test_bucketed_engine_exact_parity``)."""
-        buckets = self.step_buckets
-        fields = self._bucket_cache_fields
-        thresholds = jnp.asarray(buckets, jnp.int32)
-        T = self.max_decode_len
-
-        def make_branch(B: int) -> Any:
-            def branch(params: Params, state: Any) -> Any:
-                short = dataclasses.replace(
-                    state,
-                    **{
-                        f: jax.lax.slice_in_dim(
-                            getattr(state, f), 0, B, axis=-2
-                        )
-                        for f in fields
-                    },
-                )
-                out = step(params, short)
-                zeros = (0,) * getattr(state, fields[0]).ndim
-                return dataclasses.replace(
-                    out,
-                    **{
-                        f: jax.lax.dynamic_update_slice(
-                            getattr(state, f), getattr(out, f), zeros
-                        )
-                        for f in fields
-                    },
-                )
-
-            return branch
-
-        branches = [make_branch(B) for B in buckets]
-
-        def bucketed(params: Params, state: Any) -> Any:
-            working = state.active & ~state.done & (state.n < T)
-            need = jnp.max(jnp.where(working, state.n, 1))
-            idx = jnp.searchsorted(thresholds, need)
-            return jax.lax.switch(
-                idx, [lambda s, b=b: b(params, s) for b in branches], state
-            )
-
-        return bucketed
-
     def _build_programs(self) -> None:
         T = self.max_decode_len
         step = self._step_program
-        if self.step_buckets is not None:
-            step = self._bucketed_step(step)
         admit = self._admit_program
 
         # TP mode: pin the engine-state outputs to the head-sharded layout
@@ -578,72 +530,123 @@ class StepwiseEngineBase:
         # high-latency transport one dispatch+status round trip per *event*
         # replaces one per chunk. ``max_steps`` is a traced scalar — one
         # compiled program serves every horizon.
-        @partial(jax.jit, donate_argnums=(1,))
-        def chunk_fn(
-            params, state: Any, max_steps: jnp.ndarray,
-            release: jnp.ndarray,
-        ) -> Tuple[Any, jnp.ndarray]:
-            # Slots whose results were emitted via a ride-along payload are
-            # released here, at the start of the next program — the device
-            # state stays truthful without a dedicated free dispatch.
-            state = dataclasses.replace(
-                state,
-                active=state.active & ~release,
-                done=state.done & ~release,
-            )
-            fin0 = _finished(state)
+        #
+        # ``bucket`` (length-bucketed stepping) slices the per-beam KV
+        # caches (``_bucket_cache_fields``, T axis at -2) to the bucket
+        # ONCE per chunk, runs the whole while_loop on the short caches,
+        # and writes the prefix back with an offset-0 dynamic_update_slice
+        # into the donated full buffers — so reorder-append and
+        # self-attention touch only the live prefix, and the slice/restore
+        # overhead is paid per CHUNK, not per step (the round-3 per-step
+        # variant spent more on slice+restore than the short caches saved).
+        # The host picks the bucket from its conservative per-slot fill
+        # bound (see ``dispatch_run``); frozen slots never advance nor
+        # re-read their appended column, so leaving their deep columns
+        # untouched is exact (``test_engine.py::
+        # test_bucketed_engine_exact_parity``).
+        fields = self._bucket_cache_fields
 
-            def cond(carry):
-                s, i = carry
-                fin = _finished(s)
-                working = s.active & ~fin
-                return (i < max_steps) & working.any() & ~(fin & ~fin0).any()
+        def make_chunk(bucket: Optional[int]) -> Any:
+            def chunk_fn(
+                params, state: Any, max_steps: jnp.ndarray,
+                release: jnp.ndarray,
+            ) -> Tuple[Any, jnp.ndarray]:
+                # Slots whose results were emitted via a ride-along payload
+                # are released here, at the start of the next program — the
+                # device state stays truthful without a dedicated free
+                # dispatch.
+                state = dataclasses.replace(
+                    state,
+                    active=state.active & ~release,
+                    done=state.done & ~release,
+                )
+                fin0 = _finished(state)
+                full = state
+                if bucket is not None and bucket < T:
+                    state = dataclasses.replace(
+                        state,
+                        **{
+                            f: jax.lax.slice_in_dim(
+                                getattr(state, f), 0, bucket, axis=-2
+                            )
+                            for f in fields
+                        },
+                    )
 
-            def body(carry):
-                s, i = carry
-                return step(params, s), i + 1
+                def cond(carry):
+                    s, i = carry
+                    fin = _finished(s)
+                    working = s.active & ~fin
+                    return (
+                        (i < max_steps) & working.any() & ~(fin & ~fin0).any()
+                    )
 
-            out, steps = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-            # ONE packed int32 status vector [3S+2]: a single host copy per
-            # dispatch instead of four (each transfer pays the transport's
-            # per-call overhead).
-            #
-            # The program just exited on (at most) one *new* finish event —
-            # gather that slot's finalize payload and ship it WITH the
-            # status, so the common finish path costs zero extra round
-            # trips. Simultaneous multi-finishes fall back to
-            # ``prefetch_finalize`` host-side.
-            fin_new = _finished(out) & ~fin0
-            f = jnp.where(fin_new.any(), jnp.argmax(fin_new), -1)
-            g = jnp.maximum(f, 0)
-            scores = jnp.concatenate([out.fin_scores[g], out.beam_scores[g]])
-            # EVERYTHING in one flat int32 vector (scores bitcast): each
-            # separate D2H pays the transport's ~40 ms latency floor, so
-            # one fetch per dispatch, not four.
-            flat = jnp.concatenate(
-                [
-                    out.active.astype(jnp.int32),
-                    out.done.astype(jnp.int32),
-                    out.n,
-                    steps[None],
-                    f[None],
-                    out.n[g][None],
-                    out.done[g].astype(jnp.int32)[None],
-                    out.fin_lens[g],
-                    jnp.concatenate(
-                        [out.fin_tokens[g], out.tokens[g]], axis=0
-                    ).reshape(-1),
-                    jax.lax.bitcast_convert_type(scores, jnp.int32),
-                ]
-            )
-            return out, flat
+                def body(carry):
+                    s, i = carry
+                    return step(params, s), i + 1
 
-        if sh is not None:
-            chunk_fn = jax.jit(
-                chunk_fn.__wrapped__,
-                donate_argnums=(1,),
-                out_shardings=(sh, repl),
-            )
+                out, steps = jax.lax.while_loop(
+                    cond, body, (state, jnp.int32(0))
+                )
+                if bucket is not None and bucket < T:
+                    zeros = (0,) * getattr(full, fields[0]).ndim
+                    out = dataclasses.replace(
+                        out,
+                        **{
+                            f: jax.lax.dynamic_update_slice(
+                                getattr(full, f), getattr(out, f), zeros
+                            )
+                            for f in fields
+                        },
+                    )
+                # ONE packed int32 status vector [3S+2]: a single host copy
+                # per dispatch instead of four (each transfer pays the
+                # transport's per-call overhead).
+                #
+                # The program just exited on (at most) one *new* finish
+                # event — gather that slot's finalize payload and ship it
+                # WITH the status, so the common finish path costs zero
+                # extra round trips. Simultaneous multi-finishes fall back
+                # to ``prefetch_finalize`` host-side.
+                fin_new = _finished(out) & ~fin0
+                f = jnp.where(fin_new.any(), jnp.argmax(fin_new), -1)
+                g = jnp.maximum(f, 0)
+                scores = jnp.concatenate(
+                    [out.fin_scores[g], out.beam_scores[g]]
+                )
+                # EVERYTHING in one flat int32 vector (scores bitcast):
+                # each separate D2H pays the transport's ~40 ms latency
+                # floor, so one fetch per dispatch, not four.
+                flat = jnp.concatenate(
+                    [
+                        out.active.astype(jnp.int32),
+                        out.done.astype(jnp.int32),
+                        out.n,
+                        steps[None],
+                        f[None],
+                        out.n[g][None],
+                        out.done[g].astype(jnp.int32)[None],
+                        out.fin_lens[g],
+                        jnp.concatenate(
+                            [out.fin_tokens[g], out.tokens[g]], axis=0
+                        ).reshape(-1),
+                        jax.lax.bitcast_convert_type(scores, jnp.int32),
+                    ]
+                )
+                return out, flat
+
+            if sh is not None:
+                return jax.jit(
+                    chunk_fn, donate_argnums=(1,), out_shardings=(sh, repl)
+                )
+            return jax.jit(chunk_fn, donate_argnums=(1,))
+
+        chunk_fn = make_chunk(None)
+        self._chunk_fns = (
+            {b: make_chunk(b) for b in self.step_buckets}
+            if self.step_buckets is not None
+            else None
+        )
 
         @partial(jax.jit, donate_argnums=(1,))
         def admit_tokens_fn(params, state: Any, slots, ids, mask) -> Any:
@@ -704,6 +707,7 @@ class StepwiseEngineBase:
         """Reinstall a blank engine state (all slots vacant). Keeps the
         compiled programs — used by the serving loop's crash containment."""
         self.state = self._place(self._init_state())
+        self._n_ub[:] = 0
 
     def dispatch_run(
         self, max_steps: int, release: Optional[np.ndarray] = None
@@ -722,7 +726,21 @@ class StepwiseEngineBase:
         # np arrays, not jnp: an eager device_put blocks until the copy
         # lands (behind any queued compute); the jit call enqueues host
         # args asynchronously.
-        self.state, status = self._chunk_fn(
+        fn = self._chunk_fn
+        if self._chunk_fns is not None:
+            # Released slots stop stepping at the top of this program.
+            self._n_ub[np.asarray(release, bool)] = 0
+            need = int(
+                min(self.max_decode_len, self._n_ub.max() + max_steps)
+            )
+            bucket = next(b for b in self.step_buckets if b >= need)
+            fn = self._chunk_fns[bucket]
+            # Any slot that can step advances by at most max_steps.
+            live = self._n_ub > 0
+            self._n_ub[live] = np.minimum(
+                self._n_ub[live] + max_steps, self.max_decode_len
+            )
+        self.state, status = fn(
             self.params, self.state, np.int32(max_steps), release
         )
         status.copy_to_host_async()
@@ -780,6 +798,9 @@ class StepwiseEngineBase:
             np.ascontiguousarray(ids),
             np.ascontiguousarray(mask),
         )
+        for s in slots:
+            if s >= 0:
+                self._n_ub[s] = 1  # admission resets the slot to n=1
 
     def host_status(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One host fetch of (active, done, n).
@@ -824,6 +845,7 @@ class StepwiseEngineBase:
         ints, toks, scores, self.state = self._finalize_fn(
             self.state, np.int32(slot)
         )
+        self._n_ub[slot] = 0  # freed on device by the finalize program
         for a in (ints, toks, scores):
             a.copy_to_host_async()
         return (ints, toks, scores)
@@ -1087,3 +1109,4 @@ class StepwiseBeamEngine(StepwiseEngineBase):
             self.params, self.state, jnp.asarray(slot, jnp.int32),
             enc_hidden, enc_mask,
         )
+        self._n_ub[slot] = 1  # admission resets the slot to n=1
