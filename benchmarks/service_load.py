@@ -86,6 +86,7 @@ def make_data():
 def run_cell(
     model, val, num_workers, max_batch, window_ms, num_theorems=24,
     streaming=False, num_slots=8, chunk_size=8, step_buckets=None,
+    mesh=None,
 ):
     from reprover_tpu.prover import (
         FixedTacticGenerator,
@@ -98,7 +99,7 @@ def run_cell(
     if streaming:
         service = StreamingInferenceService(
             model, num_slots=num_slots, num_beams=64, chunk_size=chunk_size,
-            step_buckets=step_buckets,
+            step_buckets=step_buckets, mesh=mesh,
         )
     else:
         service = InferenceService(
@@ -132,6 +133,7 @@ def run_cell(
     window = stats.pop("last_resp_ts", wall) - stats.pop("first_req_ts", 0.0)
     log(
         mode="streaming" if streaming else "coalescing",
+        tp=mesh.devices.size if mesh is not None else 0,
         buckets=step_buckets if streaming else None,
         slots=num_slots if streaming else None,
         chunk=chunk_size if streaming else None,
@@ -228,11 +230,21 @@ def main():
     # caches (dec len is 128, +1 start for causal); quarters of the range.
     T = 129 if causal else 128
     buckets = tuple(sorted({32, 64, 96, T}))
+    # --tp1: a 1-device mesh through the full TP code path (sharded params,
+    # explicit out_shardings) — measures the TP machinery's single-chip
+    # overhead vs the meshless engine (VERDICT #1: should be ~0).
+    mesh = None
+    if "--tp1" in sys.argv:
+        import jax
+        from reprover_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, model=1)
     for num_workers, num_slots, chunk in streaming_cells:
         run_cell(
             model, val, num_workers, 0, 0.0, streaming=True,
             num_slots=num_slots, chunk_size=chunk,
             step_buckets=buckets if "--buckets" in sys.argv else None,
+            mesh=mesh,
         )
 
 
