@@ -70,6 +70,33 @@ def pre_where(cache, col, P, at_pos):
     return jnp.einsum("sij,lsjhtd->lsihtd", P, merged)
 
 
+def batched(cache, col, P, at_pos):
+    """(l,s) as true dot batch dims: no layout copies.
+
+    The production einsum "sij,lsjhtd->lsihtd" compiles to a cache
+    relayout + convolution + root copy (s must lead for the dot, l must
+    lead for the output) — 3x the minimum HBM traffic. Broadcasting P over
+    l makes both operands and the output share the (l,s)-major layout."""
+    Pb = jnp.broadcast_to(P[None], (cache.shape[0],) + P.shape)
+    permuted = jnp.einsum("lsij,lsjhtd->lsihtd", Pb, cache)
+    colp = jnp.einsum("lsij,lsjhtd->lsihtd", Pb, col)
+    return jnp.where(at_pos, colp, permuted)
+
+
+def gather(cache, col, P, at_pos):
+    """Production Pallas scalar-prefetch gather (`ops/beam_reorder.py`).
+
+    Moves BOTH caches (k and v) per call like the engine does; reported ms
+    is therefore directly comparable to 2x the single-cache variants."""
+    from reprover_tpu.ops.beam_reorder import reorder_append_gather
+
+    parent = jnp.argmax(P, axis=-1).astype(jnp.int32)
+    frozen = jnp.zeros((P.shape[0],), bool)
+    pos = jnp.argmax(at_pos[0, :, 0, 0, :, 0], axis=-1).astype(jnp.int32)
+    k, v = reorder_append_gather(cache, cache, col, col, parent, frozen, pos)
+    return k
+
+
 def dus(cache, col, P, at_pos):
     permuted = jnp.einsum("sij,lsjhtd->lsihtd", P, cache)
     colp = jnp.einsum("sij,lsjhtd->lsihtd", P, col)
@@ -94,7 +121,13 @@ def main():
     gb = cache.size * 2 / 1e9  # one read or one write of the cache
 
     ref = np.asarray(current(cache, col, P, at_pos), np.float32)
-    for name, fn in [("current", current), ("pre_where", pre_where), ("dus", dus)]:
+    for name, fn in [
+        ("current", current),
+        ("pre_where", pre_where),
+        ("batched", batched),
+        ("gather", gather),  # moves k AND v: compare vs 2x the others
+        ("dus", dus),
+    ]:
         got = np.asarray(fn(cache, col, P, at_pos), np.float32)
         exact = bool((got == ref).all())
         ms = timed(fn, cache, col, P, at_pos)

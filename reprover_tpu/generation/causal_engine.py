@@ -258,20 +258,29 @@ def _causal_decode_step(
 
 def causal_engine_step(
     params: Params, cfg: CausalLMConfig, state: CausalEngineState,
-    length_penalty: float,
+    length_penalty: float, gather_reorder: bool = False,
 ) -> CausalEngineState:
-    """Advance every active, unfinished slot by one token."""
+    """Advance every active, unfinished slot by one token.
+
+    ``gather_reorder``: see :func:`reprover_tpu.generation.engine.engine_step`
+    — Pallas DMA gather for the decode-cache permutation (single-device
+    TPU; the einsum path stays under a TP mesh)."""
     logits, k_news, v_news = _causal_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
     )
     pos = state.n - 1
-    return dataclasses.replace(
-        state,
-        dec_k=reorder_append(state.dec_k, k_news, cont_parent, frozen, pos),
-        dec_v=reorder_append(state.dec_v, v_news, cont_parent, frozen, pos),
-        **updates,
-    )
+    if gather_reorder:
+        from reprover_tpu.ops.beam_reorder import reorder_append_gather
+
+        dec_k, dec_v = reorder_append_gather(
+            state.dec_k, state.dec_v, k_news, v_news,
+            cont_parent, frozen, pos,
+        )
+    else:
+        dec_k = reorder_append(state.dec_k, k_news, cont_parent, frozen, pos)
+        dec_v = reorder_append(state.dec_v, v_news, cont_parent, frozen, pos)
+    return dataclasses.replace(state, dec_k=dec_k, dec_v=dec_v, **updates)
 
 
 # ------------------------------------------------------------------ #
@@ -356,7 +365,10 @@ class CausalStepwiseEngine(StepwiseEngineBase):
     def _step_program(
         self, params: Params, state: CausalEngineState
     ) -> CausalEngineState:
-        return causal_engine_step(params, self.cfg, state, self.length_penalty)
+        return causal_engine_step(
+            params, self.cfg, state, self.length_penalty,
+            gather_reorder=self._use_gather_reorder(),
+        )
 
     def _admit_program(
         self, params: Params, state: CausalEngineState,

@@ -380,19 +380,32 @@ def reorder_append(
 
 
 def engine_step(
-    params: Params, cfg: T5Config, state: EngineState, length_penalty: float
+    params: Params, cfg: T5Config, state: EngineState, length_penalty: float,
+    gather_reorder: bool = False,
 ) -> EngineState:
-    """Advance every active, unfinished slot by one token."""
+    """Advance every active, unfinished slot by one token.
+
+    ``gather_reorder`` uses the Pallas scalar-prefetch gather for the cache
+    permutation (`ops/beam_reorder.py`) — pure DMA traffic vs the einsum's
+    layout-copy + convolution + copy (~3x); single-device TPU only (under a
+    TP mesh the einsum path stays, GSPMD partitions it)."""
     logits, k_news, v_news = _engine_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
     )
     pos = state.n - 1
+    if gather_reorder:
+        from reprover_tpu.ops.beam_reorder import reorder_append_gather
+
+        self_k, self_v = reorder_append_gather(
+            state.self_k, state.self_v, k_news, v_news,
+            cont_parent, frozen, pos,
+        )
+    else:
+        self_k = reorder_append(state.self_k, k_news, cont_parent, frozen, pos)
+        self_v = reorder_append(state.self_v, v_news, cont_parent, frozen, pos)
     return dataclasses.replace(
-        state,
-        self_k=reorder_append(state.self_k, k_news, cont_parent, frozen, pos),
-        self_v=reorder_append(state.self_v, v_news, cont_parent, frozen, pos),
-        **updates,
+        state, self_k=self_k, self_v=self_v, **updates
     )
 
 
@@ -491,6 +504,12 @@ class StepwiseEngineBase:
     def _step_program(self, params: Params, state: Any) -> Any:
         """One decode+beam step over all slots (pure; traced under jit)."""
         raise NotImplementedError
+
+    def _use_gather_reorder(self) -> bool:
+        """Pallas gather for the per-beam cache reorder: single-device TPU
+        only (under a TP mesh the caches are sharded over heads and the
+        einsum path stays — GSPMD partitions it; trace-time decision)."""
+        return self.mesh is None and jax.devices()[0].platform == "tpu"
 
     def _admit_program(
         self, params: Params, state: Any, slots: Any, ids: Any, mask: Any
@@ -1027,7 +1046,10 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         return EngineState(**shardings)
 
     def _step_program(self, params: Params, state: EngineState) -> EngineState:
-        return engine_step(params, self.cfg, state, self.length_penalty)
+        return engine_step(
+            params, self.cfg, state, self.length_penalty,
+            gather_reorder=self._use_gather_reorder(),
+        )
 
     def _admit_program(
         self, params: Params, state: EngineState, slots: Any, ids: Any, mask: Any

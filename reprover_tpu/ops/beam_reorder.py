@@ -1,0 +1,102 @@
+"""Per-beam KV-cache reorder+append as a Pallas scalar-prefetch gather.
+
+The engines' beam advance must permute the per-beam decode KV caches by
+the continuation parents and install the step's fresh (lazy-append) column
+(`reprover_tpu/generation/engine.py::reorder_append` — the vLLM
+beam-fork role, `/root/reference/prover/proof_search.py:332-366`).
+
+The einsum formulation (one-hot matmul) compiles to a layout copy +
+convolution + layout copy on TPU — ~3x the minimum HBM traffic (measured
+267 GB/s effective, `benchmarks/reorder_microbench.py`). A permutation is
+a gather, and the TPU-native gather is a scalar-prefetched Pallas kernel:
+the parent table arrives ahead of the grid so each output block's input
+DMA is issued directly from ``parent[s, k]`` — one contiguous [L, H, T, d]
+block read + one write per beam row, nothing else. The fresh column is
+installed by the same pass via a ``where`` on the T axis (it rides the
+store, not an extra sweep).
+
+Exactness: identical to the einsum path (`tests/test_beam_reorder.py`
+compares both, plus interpret-mode CPU runs). Like the einsum path, the
+fresh column is installed for frozen slots too — their ``pos`` column is
+never read (attention masks t < pos) and is overwritten by the next real
+step.
+
+Single-device only: under a TP mesh the caches are sharded over heads and
+the engines keep the einsum path (GSPMD partitions it; a pallas_call would
+need a shard_map wrapper).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reorder_kernel(
+    parent_ref: jax.Array,  # [S, K] int32 (SMEM, scalar-prefetched)
+    pos_ref: jax.Array,  # [S] int32 (SMEM, scalar-prefetched)
+    k_ref: jax.Array,  # [L, 1, 1, H, T, d] — parent's rows (both caches
+    v_ref: jax.Array,  # gathered by the same index map)
+    kcol_ref: jax.Array,  # [L, 1, 1, H, 1, d]
+    vcol_ref: jax.Array,
+    ko_ref: jax.Array,  # [L, 1, 1, H, T, d]
+    vo_ref: jax.Array,
+) -> None:
+    s = pl.program_id(0)
+    T = k_ref.shape[4]
+    at_pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, T, 1), 4)
+        == pos_ref[s]
+    )
+    ko_ref[...] = jnp.where(at_pos, kcol_ref[...], k_ref[...])
+    vo_ref[...] = jnp.where(at_pos, vcol_ref[...], v_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reorder_append_gather(
+    k_cache: jnp.ndarray,  # [L, S, K, H, T, d]
+    v_cache: jnp.ndarray,
+    k_col: jnp.ndarray,  # [L, S, K, H, 1, d]
+    v_col: jnp.ndarray,
+    cont_parent: jnp.ndarray,  # [S, K] int32
+    frozen: jnp.ndarray,  # [S] bool
+    pos: jnp.ndarray,  # [S] int32
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both caches permuted by beam parents with the fresh column installed.
+
+    Semantics identical to two ``reorder_append`` calls; one kernel moves
+    both caches so the row gather cost is paid once per (slot, beam)."""
+    L, S, K, H, T, d = k_cache.shape
+    parent_eff = jnp.where(
+        frozen[:, None], jnp.arange(K, dtype=jnp.int32)[None, :],
+        cont_parent.astype(jnp.int32),
+    )
+    row_spec = pl.BlockSpec(
+        (L, 1, 1, H, T, d),
+        lambda s, k, parent, pos: (0, s, parent[s, k], 0, 0, 0),
+    )
+    col_spec = pl.BlockSpec(
+        (L, 1, 1, H, 1, d),
+        lambda s, k, parent, pos: (0, s, parent[s, k], 0, 0, 0),
+    )
+    out_spec = pl.BlockSpec(
+        (L, 1, 1, H, T, d), lambda s, k, parent, pos: (0, s, k, 0, 0, 0)
+    )
+    shape = jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)
+    return pl.pallas_call(
+        _reorder_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(S, K),
+            in_specs=[row_spec, row_spec, col_spec, col_spec],
+            out_specs=[out_spec, out_spec],
+        ),
+        out_shape=[shape, shape],
+        interpret=interpret,
+    )(parent_eff, pos.astype(jnp.int32), k_cache, v_cache, k_col, v_col)

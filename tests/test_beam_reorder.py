@@ -1,0 +1,61 @@
+"""Pallas beam-reorder gather kernel vs the einsum reference path.
+
+The kernel (`ops/beam_reorder.py`) must be bit-exact with
+`generation/engine.py::reorder_append` for both caches, including frozen
+slots (identity parents, no column read) and per-slot positions.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from reprover_tpu.generation.engine import reorder_append
+from reprover_tpu.ops.beam_reorder import reorder_append_gather
+
+L, S, K, H, T, D = 2, 3, 4, 2, 8, 4
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_gather_matches_einsum(seed):
+    rng = jax.random.PRNGKey(seed)
+    rk, rv, rck, rcv, rp = jax.random.split(rng, 5)
+    k_cache = jax.random.normal(rk, (L, S, K, H, T, D), jnp.float32)
+    v_cache = jax.random.normal(rv, (L, S, K, H, T, D), jnp.float32)
+    k_col = jax.random.normal(rck, (L, S, K, H, 1, D), jnp.float32)
+    v_col = jax.random.normal(rcv, (L, S, K, H, 1, D), jnp.float32)
+    parent = jax.random.randint(rp, (S, K), 0, K, jnp.int32)
+    frozen = jnp.asarray([False, True, False])
+    pos = jnp.asarray([0, 5, T - 1], jnp.int32)
+
+    want_k = reorder_append(k_cache, k_col, parent, frozen, pos)
+    want_v = reorder_append(v_cache, v_col, parent, frozen, pos)
+    got_k, got_v = reorder_append_gather(
+        k_cache, v_cache, k_col, v_col, parent, frozen, pos, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_gather_frozen_slot_keeps_rows():
+    """A fully frozen batch must reduce to the identity copy plus the
+    (harmless, never-read) column install at each slot's pos."""
+    k_cache = jnp.arange(L * S * K * H * T * D, dtype=jnp.float32).reshape(
+        L, S, K, H, T, D
+    )
+    v_cache = k_cache + 1.0
+    k_col = jnp.full((L, S, K, H, 1, D), -1.0)
+    v_col = jnp.full((L, S, K, H, 1, D), -2.0)
+    parent = jnp.zeros((S, K), jnp.int32)  # would collapse all beams to 0
+    frozen = jnp.ones((S,), bool)  # ...but frozen forces identity
+    pos = jnp.full((S,), 3, jnp.int32)
+    got_k, got_v = reorder_append_gather(
+        k_cache, v_cache, k_col, v_col, parent, frozen, pos, interpret=True
+    )
+    want_k = reorder_append(k_cache, k_col, parent, frozen, pos)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    # rows untouched except the pos column
+    np.testing.assert_array_equal(
+        np.asarray(got_v)[:, :, :, :, :3], np.asarray(v_cache)[:, :, :, :, :3]
+    )
