@@ -40,11 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _reorder_kernel(
     parent_ref: jax.Array,  # [S, K] int32 (SMEM, scalar-prefetched)
     pos_ref: jax.Array,  # [S] int32 (SMEM, scalar-prefetched)
-    k_ref: jax.Array,  # [L, 1, 1, H, T, d] — parent's rows (both caches
+    k_ref: jax.Array,  # [1, 1, 1, H, T, d] — parent's rows (both caches
     v_ref: jax.Array,  # gathered by the same index map)
-    kcol_ref: jax.Array,  # [L, 1, 1, H, 1, d]
+    kcol_ref: jax.Array,  # [1, 1, 1, H, 1, d]
     vcol_ref: jax.Array,
-    ko_ref: jax.Array,  # [L, 1, 1, H, T, d]
+    ko_ref: jax.Array,  # [1, 1, 1, H, T, d]
     vo_ref: jax.Array,
 ) -> None:
     s = pl.program_id(0)
@@ -77,23 +77,28 @@ def reorder_append_gather(
         frozen[:, None], jnp.arange(K, dtype=jnp.int32)[None, :],
         cont_parent.astype(jnp.int32),
     )
+    # One (layer, slot, beam) row per block: keeps every block comfortably
+    # under the ~16 MB scoped-vmem budget at any engine shape (an [L, ...]
+    # block OOMs at the causal-engine geometry L=8, K=64, T=128) while each
+    # DMA stays a contiguous [H, T, d] row. L varies fastest so successive
+    # blocks walk one parent row's layers sequentially.
     row_spec = pl.BlockSpec(
-        (L, 1, 1, H, T, d),
-        lambda s, k, parent, pos: (0, s, parent[s, k], 0, 0, 0),
+        (1, 1, 1, H, T, d),
+        lambda s, k, l, parent, pos: (l, s, parent[s, k], 0, 0, 0),
     )
     col_spec = pl.BlockSpec(
-        (L, 1, 1, H, 1, d),
-        lambda s, k, parent, pos: (0, s, parent[s, k], 0, 0, 0),
+        (1, 1, 1, H, 1, d),
+        lambda s, k, l, parent, pos: (l, s, parent[s, k], 0, 0, 0),
     )
     out_spec = pl.BlockSpec(
-        (L, 1, 1, H, T, d), lambda s, k, parent, pos: (0, s, k, 0, 0, 0)
+        (1, 1, 1, H, T, d), lambda s, k, l, parent, pos: (l, s, k, 0, 0, 0)
     )
     shape = jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)
     return pl.pallas_call(
         _reorder_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(S, K),
+            grid=(S, K, L),
             in_specs=[row_spec, row_spec, col_spec, col_spec],
             out_specs=[out_spec, out_spec],
         ),
