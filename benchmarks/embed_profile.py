@@ -83,12 +83,19 @@ def main() -> None:
 
     res: dict = {"batch": B, "seq": L}
 
-    # (a) full embed step, iterated on-device to amortize dispatch
+    # (a) full embed step, iterated on-device to amortize dispatch. The
+    # carry feeds each iteration's input from the previous output (via a
+    # term that is zero at runtime but not provably zero), so XLA's
+    # loop-invariant code motion cannot hoist the encode out of the scan —
+    # without this the 434%-"MFU" artifact of round 3's first run appears.
     def embed_n(p, i, m):
-        def body(_, __):
-            return None, masked_mean_normalize(encode(p, cfg, i, m), m)
+        def body(c, _):
+            e = masked_mean_normalize(encode(p, cfg, i + c, m), m)
+            return jnp.any(jnp.isnan(e)).astype(jnp.int32), e
 
-        _, out = jax.lax.scan(body, None, None, length=_ARGS.iters)
+        _, out = jax.lax.scan(
+            body, jnp.int32(0), None, length=_ARGS.iters
+        )
         return out
 
     ms = timed(embed_n, params, ids, mask) / _ARGS.iters

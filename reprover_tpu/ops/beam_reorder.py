@@ -40,11 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 def _reorder_kernel(
     parent_ref: jax.Array,  # [S, K] int32 (SMEM, scalar-prefetched)
     pos_ref: jax.Array,  # [S] int32 (SMEM, scalar-prefetched)
-    k_ref: jax.Array,  # [1, 1, 1, H, T, d] — parent's rows (both caches
+    k_ref: jax.Array,  # [LC, 1, 1, H, T, d] — parent's rows (both caches
     v_ref: jax.Array,  # gathered by the same index map)
-    kcol_ref: jax.Array,  # [1, 1, 1, H, 1, d]
+    kcol_ref: jax.Array,  # [LC, 1, 1, H, 1, d]
     vcol_ref: jax.Array,
-    ko_ref: jax.Array,  # [1, 1, 1, H, T, d]
+    ko_ref: jax.Array,  # [LC, 1, 1, H, T, d]
     vo_ref: jax.Array,
 ) -> None:
     s = pl.program_id(0)
@@ -77,31 +77,41 @@ def reorder_append_gather(
         frozen[:, None], jnp.arange(K, dtype=jnp.int32)[None, :],
         cont_parent.astype(jnp.int32),
     )
-    # One (layer, slot, beam) row per block: keeps every block comfortably
-    # under the ~16 MB scoped-vmem budget at any engine shape (an [L, ...]
-    # block OOMs at the causal-engine geometry L=8, K=64, T=128) while each
-    # DMA stays a contiguous [H, T, d] row. L varies fastest so successive
-    # blocks walk one parent row's layers sequentially.
+    # Blocks carry as many layers as fit a generous VMEM budget: big DMAs
+    # pipeline (one-layer blocks measured 103 GB/s vs 273+ for full-L), and
+    # the Mosaic budget is raised past the conservative 16 MB default
+    # (v5e has 128 MB VMEM; the causal-engine geometry L=8, K=64, T=128
+    # needs 16.12 MB with full-L blocks and double buffering). The layer
+    # chunk only drops below L for far larger caches than any engine runs.
+    bytes_per_layer = H * T * d * k_cache.dtype.itemsize
+    lc = L
+    while lc > 1 and 12 * lc * bytes_per_layer > 48 * 1024 * 1024:
+        lc = max(1, lc // 2)
+    while L % lc:
+        lc -= 1
     row_spec = pl.BlockSpec(
-        (1, 1, 1, H, T, d),
+        (lc, 1, 1, H, T, d),
         lambda s, k, l, parent, pos: (l, s, parent[s, k], 0, 0, 0),
     )
     col_spec = pl.BlockSpec(
-        (1, 1, 1, H, 1, d),
+        (lc, 1, 1, H, 1, d),
         lambda s, k, l, parent, pos: (l, s, parent[s, k], 0, 0, 0),
     )
     out_spec = pl.BlockSpec(
-        (1, 1, 1, H, T, d), lambda s, k, l, parent, pos: (l, s, k, 0, 0, 0)
+        (lc, 1, 1, H, T, d), lambda s, k, l, parent, pos: (l, s, k, 0, 0, 0)
     )
     shape = jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)
     return pl.pallas_call(
         _reorder_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(S, K, L),
+            grid=(S, K, L // lc),
             in_specs=[row_spec, row_spec, col_spec, col_spec],
             out_specs=[out_spec, out_spec],
         ),
         out_shape=[shape, shape],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(parent_eff, pos.astype(jnp.int32), k_cache, v_cache, k_col, v_col)

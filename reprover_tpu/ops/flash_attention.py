@@ -16,10 +16,13 @@ kernel) measured 2-3x slower than this form.
 Per head (forward):
 - scores tile ``[BQ, L]`` = q_h @ k_h^T on the MXU (T5: unscaled);
 - the T5 relative-position bias is computed *inside* the kernel from the
-  log-bucket formula (exact HF semantics) on broadcasted iotas — shared
-  across heads — plus a 32-way select against the tiny per-head bias
-  vector: zero HBM bias traffic. The select chain builds a standalone bias
-  tile (not in-place on scores) so the VPU selects overlap the MXU matmul;
+  log-bucket formula (exact HF semantics) on broadcasted iotas, plus a
+  32-way select against the tiny per-head bias vector: zero HBM bias
+  traffic. The bias depends only on the (head, q-block) — every grid runs
+  batch FASTEST and builds the bias tiles into a persistent VMEM scratch
+  at ``bi == 0``, reusing them across the whole batch (rebuilding the
+  select chain per cell was the VPU bottleneck: measured ~6% MFU at
+  B=64, L=1024 — the chain cost B× the score matmuls);
 - the padding mask folds in as ``-1e10``;
 - exact fp32 softmax over the full row (K is VMEM-resident), probs @ v_h on
   the MXU.
@@ -171,6 +174,7 @@ def _encoder_attn_kernel(
     mask_ref: jax.Array,  # [1, 1, L] int32
     rel_ref: jax.Array,  # [H, 1, num_buckets] fp32
     out_ref: jax.Array,  # [1, BQ, H*d]
+    bias_ref: jax.Array,  # [H, BQ, L] fp32 VMEM scratch — persists over bi
     *,
     num_heads: int,
     num_buckets: int,
@@ -181,16 +185,34 @@ def _encoder_attn_kernel(
     kv_len = k_ref.shape[1]
     d = k_ref.shape[2] // num_heads
 
-    q_start = pl.program_id(1) * block_q
-    bucket = _bucket_map(
-        q_start, block_q, kv_len, num_buckets, max_distance,
-        bidirectional=not causal,
-    )
-    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
-    if causal:
-        mask_bias = mask_bias + jnp.where(
-            _causal_invalid(q_start, block_q, kv_len), NEG_INF, 0.0
+    qi, bi = pl.program_id(0), pl.program_id(1)
+    q_start = qi * block_q
+
+    # The relative-position bias (and the causal term) depend on the
+    # q-block, NOT the batch cell. The grid runs bi fastest, so build the
+    # per-head bias tiles once per q-block into a persistent VMEM scratch
+    # and reuse them across the whole batch — the 32-way select chain was
+    # the kernel's VPU bottleneck when rebuilt per (cell, head) (measured
+    # ~6% MFU at B=64, L=1024).
+    @pl.when(bi == 0)
+    def _build_bias() -> None:
+        bucket = _bucket_map(
+            q_start, block_q, kv_len, num_buckets, max_distance,
+            bidirectional=not causal,
         )
+        causal_term = (
+            jnp.where(
+                _causal_invalid(q_start, block_q, kv_len), NEG_INF, 0.0
+            )
+            if causal
+            else None
+        )
+        for h in range(num_heads):
+            rel_vec = rel_ref[h, 0]  # [num_buckets]
+            t = _bias_tile(bucket, lambda b: rel_vec[b], num_buckets)
+            bias_ref[h] = t if causal_term is None else t + causal_term
+
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
 
     for h in range(num_heads):
         qh = q_ref[0, :, h * d : (h + 1) * d]
@@ -205,18 +227,20 @@ def _encoder_attn_kernel(
             preferred_element_type=jnp.float32,
         )  # [BQ, L] fp32
 
-        rel_vec = rel_ref[h, 0]  # [num_buckets]
-        bias = _bias_tile(bucket, lambda b: rel_vec[b], num_buckets)
-        scores += bias + mask_bias
+        scores += bias_ref[h] + mask_bias
 
-        # Exact fp32 softmax (full row resident in VMEM).
+        # Exact fp32 softmax (full row resident in VMEM). The 1/l
+        # normalization rides the [BQ, d] output instead of the [BQ, L]
+        # probs tile (L-fold fewer divisions, same math).
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        probs = (p / l).astype(vh.dtype)
 
-        out_ref[0, :, h * d : (h + 1) * d] = jnp.dot(
-            probs, vh, preferred_element_type=jnp.float32
+        out_ref[0, :, h * d : (h + 1) * d] = (
+            jnp.dot(
+                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+            )
+            / l
         ).astype(out_ref.dtype)
 
 
@@ -272,35 +296,46 @@ def _forward_impl(
     )
     d = inner // num_heads
     flops = 2 * 2 * b * num_heads * l * l * d + 40 * b * num_heads * l * l
+    # Grid order: q-block MAJOR, batch minor — the bias scratch built at
+    # bi == 0 serves every batch cell of that q-block. The [H, BQ, L] fp32
+    # scratch (up to ~13 MB at BQ=512, L=1024) plus working tiles exceeds
+    # the conservative 16 MB default, so raise the Mosaic VMEM budget
+    # (v5e has 128 MB VMEM per core).
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, l, inner), q.dtype),
-        grid=(b, l // block_q),
+        grid=(l // block_q, b),
         in_specs=[
             pl.BlockSpec(
                 (1, block_q, inner),
-                lambda bi, qi: (bi, qi, 0),
+                lambda qi, bi: (bi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, l, inner), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, l, inner), lambda qi, bi: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, l, inner), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, l, inner), lambda qi, bi: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, l), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, l), lambda qi, bi: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (num_heads, 1, rel_hb.shape[2]),
-                lambda bi, qi: (0, 0, 0),
+                lambda qi, bi: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, inner),
-            lambda bi, qi: (bi, qi, 0),
+            lambda qi, bi: (bi, qi, 0),
             memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, block_q, l), jnp.float32)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -327,6 +362,7 @@ def _bwd_dq_kernel(
     dq_ref: jax.Array,  # [1, 1, BQ, d]
     lse_ref: jax.Array,  # [1, 1, 1, BQ] fp32
     db_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM — revisited across the whole grid
+    bias_ref: jax.Array,  # [BQ, L] fp32 VMEM scratch — persists over bi
     *,
     num_buckets: int,
     max_distance: int,
@@ -334,7 +370,7 @@ def _bwd_dq_kernel(
 ) -> None:
     block_q = q_ref.shape[2]
     kv_len = k_ref.shape[2]
-    h, bi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    h, qi, bi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     bucket = _bucket_map(
         qi * block_q, block_q, kv_len, num_buckets, max_distance,
@@ -351,13 +387,22 @@ def _bwd_dq_kernel(
         for b in range(num_buckets):
             db_ref[h, 0, b] = 0.0
 
+    # Batch runs fastest: the (h, q-block)-dependent bias tile is built
+    # once into a persistent scratch and reused across all batch cells
+    # (same hoist as the forward kernel; the bucket map stays per-cell —
+    # the d_bias masked sums below need it against the per-cell dS).
+    @pl.when(bi == 0)
+    def _build_bias():
+        bias_ref[...] = _bias_tile(
+            bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True
+        )
+
     qh, kh, vh, doh = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
 
     scores = jax.lax.dot_general(
         qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    bias = _bias_tile(bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True)
-    scores += bias + mask_bias
+    scores += bias_ref[...] + mask_bias
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -406,6 +451,7 @@ def _bwd_dkv_kernel(
     delta_ref: jax.Array,  # [1, 1, 1, L] fp32
     dk_ref: jax.Array,  # [1, 1, BK, d]
     dv_ref: jax.Array,  # [1, 1, BK, d]
+    bias_ref: jax.Array,  # [BK, L] fp32 VMEM scratch — persists over bi
     *,
     num_buckets: int,
     max_distance: int,
@@ -413,31 +459,42 @@ def _bwd_dkv_kernel(
 ) -> None:
     block_kv = k_ref.shape[2]
     q_len = q_ref.shape[2]
-    h, ki = pl.program_id(0), pl.program_id(2)
+    h, ki, bi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    bucket = _bucket_map(
-        ki * block_kv, block_kv, q_len, num_buckets, max_distance,
-        transposed=True, bidirectional=not causal,
-    )
+    # Batch runs fastest: the (h, kv-block)-dependent bias tile — including
+    # the causal term — is built once into a persistent scratch and reused
+    # across all batch cells (same hoist as the forward kernel).
+    @pl.when(bi == 0)
+    def _build_bias():
+        bucket = _bucket_map(
+            ki * block_kv, block_kv, q_len, num_buckets, max_distance,
+            transposed=True, bidirectional=not causal,
+        )
+        t = _bias_tile(
+            bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True
+        )
+        if causal:
+            t = t + jnp.where(
+                _causal_invalid(
+                    ki * block_kv, block_kv, q_len, transposed=True
+                ),
+                NEG_INF,
+                0.0,
+            )
+        bias_ref[...] = t
+
     # Rows are kv positions here: masked keys score -1e10 so P^T rows vanish
     # exactly (exp underflows to 0), matching the naive path.
     row_bias = jnp.transpose(
         jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
     )  # [BK, 1]
-    if causal:
-        row_bias = row_bias + jnp.where(
-            _causal_invalid(ki * block_kv, block_kv, q_len, transposed=True),
-            NEG_INF,
-            0.0,
-        )
 
     kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
 
     scores_t = jax.lax.dot_general(
         kh, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BK, L] — transpose of the forward scores
-    bias = _bias_tile(bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True)
-    scores_t += bias + row_bias
+    scores_t += bias_ref[...] + row_bias
 
     p_t = jnp.exp(scores_t - lse_ref[0, 0, 0, :][None, :])  # P^T, exact
     dp_t = jax.lax.dot_general(
@@ -518,20 +575,24 @@ def _backward_impl(
             jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32),
             jax.ShapeDtypeStruct((h, 1, nb), jnp.float32),
         ),
-        grid=(h, b, l // block),
+        grid=(h, l // block, b),
         in_specs=[
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l, d), lambda hi, bi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l, d), lambda hi, bi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l), lambda hi, bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, qi, bi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, qi, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, qi, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, qi, bi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda hi, qi, bi: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, block), lambda hi, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), lambda hi, qi, bi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, block), lambda hi, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, qi, bi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block), lambda hi, qi, bi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((block, l), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops * 3 // 5,
@@ -551,20 +612,24 @@ def _backward_impl(
             jax.ShapeDtypeStruct((b, h, l, d), k.dtype),
             jax.ShapeDtypeStruct((b, h, l, d), v.dtype),
         ),
-        grid=(h, b, l // block),
+        grid=(h, l // block, b),
         in_specs=[
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l, d), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l, d), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block), lambda hi, bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, ki, bi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, ki, bi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, ki, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l, d), lambda hi, ki, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda hi, ki, bi: (bi, 0, ki), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, l), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, l), lambda hi, bi, ki: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, l), lambda hi, ki, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, l), lambda hi, ki, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block, d), lambda hi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, ki, bi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block, d), lambda hi, ki, bi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((block, l), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops * 2 // 5,
