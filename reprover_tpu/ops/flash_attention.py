@@ -363,6 +363,7 @@ def _bwd_dq_kernel(
     lse_ref: jax.Array,  # [1, 1, 1, BQ] fp32
     db_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM — revisited across the whole grid
     bias_ref: jax.Array,  # [BQ, L] fp32 VMEM scratch — persists over bi
+    dsacc_ref: jax.Array,  # [BQ, L] fp32 VMEM scratch — dS summed over bi
     *,
     num_buckets: int,
     max_distance: int,
@@ -371,11 +372,8 @@ def _bwd_dq_kernel(
     block_q = q_ref.shape[2]
     kv_len = k_ref.shape[2]
     h, qi, bi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    num_b = pl.num_programs(2)
 
-    bucket = _bucket_map(
-        qi * block_q, block_q, kv_len, num_buckets, max_distance,
-        bidirectional=not causal,
-    )
     mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
     if causal:
         mask_bias = mask_bias + jnp.where(
@@ -389,10 +387,13 @@ def _bwd_dq_kernel(
 
     # Batch runs fastest: the (h, q-block)-dependent bias tile is built
     # once into a persistent scratch and reused across all batch cells
-    # (same hoist as the forward kernel; the bucket map stays per-cell —
-    # the d_bias masked sums below need it against the per-cell dS).
+    # (same hoist as the forward kernel).
     @pl.when(bi == 0)
     def _build_bias():
+        bucket = _bucket_map(
+            qi * block_q, block_q, kv_len, num_buckets, max_distance,
+            bidirectional=not causal,
+        )
         bias_ref[...] = _bias_tile(
             bucket, lambda b: rel_ref[h, 0, b], num_buckets, chunked=True
         )
@@ -422,22 +423,40 @@ def _bwd_dq_kernel(
     ).astype(dq_ref.dtype)
 
     # Relative-bias gradient: bias is shared across all (i, j) with the
-    # same bucket, so d_bias[h, b] = sum of dS over that bucket's cells,
-    # accumulated as SMEM scalars across the whole grid. Column-chunked:
-    # the bias chain's and this chain's temporaries do not share VMEM-stack
-    # slots, and unchunked they jointly overflow the 16 MB limit at L=2304
-    # (measured 27.6M; chunked-both fits).
-    chunk = _chunk_cols(kv_len)
-    for b in range(num_buckets):
-        acc = None
-        for c0 in range(0, kv_len, chunk):
-            part = jnp.sum(
-                jnp.where(
-                    bucket[:, c0 : c0 + chunk] == b, ds[:, c0 : c0 + chunk], 0.0
+    # same bucket, so d_bias[h, b] = sum of dS over that bucket's cells.
+    # dS sums over the batch FIRST (a [BQ, L] add per cell into a
+    # persistent scratch); the 32-way masked-sum chain — as expensive as
+    # the bias chain itself — then runs once per (head, q-block) on the
+    # accumulated tile at the last batch cell, not per cell. Column-
+    # chunked: the chain's temporaries otherwise overflow the VMEM stack
+    # at L=2304 (measured 27.6M).
+    @pl.when(bi == 0)
+    def _init_dsacc():
+        dsacc_ref[...] = ds
+
+    @pl.when(bi > 0)
+    def _acc_dsacc():
+        dsacc_ref[...] += ds
+
+    @pl.when(bi == num_b - 1)
+    def _reduce_dbias():
+        bucket = _bucket_map(
+            qi * block_q, block_q, kv_len, num_buckets, max_distance,
+            bidirectional=not causal,
+        )
+        chunk = _chunk_cols(kv_len)
+        for b in range(num_buckets):
+            acc = None
+            for c0 in range(0, kv_len, chunk):
+                part = jnp.sum(
+                    jnp.where(
+                        bucket[:, c0 : c0 + chunk] == b,
+                        dsacc_ref[:, c0 : c0 + chunk],
+                        0.0,
+                    )
                 )
-            )
-            acc = part if acc is None else acc + part
-        db_ref[h, 0, b] += acc
+                acc = part if acc is None else acc + part
+            db_ref[h, 0, b] += acc
 
 
 def _bwd_dkv_kernel(
@@ -590,7 +609,10 @@ def _backward_impl(
             pl.BlockSpec((1, 1, 1, block), lambda hi, qi, bi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((block, l), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((block, l), jnp.float32),
+            pltpu.VMEM((block, l), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -813,13 +835,17 @@ def _cross_attn_kernel(
         )  # [BQ, S] fp32 (T5: unscaled)
         scores += mask_bias
 
+        # Exact fp32 softmax; the 1/l normalization rides the [BQ, d]
+        # output instead of the [BQ, S] probs tile (same math).
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        probs = (p / l).astype(vh.dtype)
 
-        out_ref[0, :, h * d : (h + 1) * d] = jnp.dot(
-            probs, vh, preferred_element_type=jnp.float32
+        out_ref[0, :, h * d : (h + 1) * d] = (
+            jnp.dot(
+                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+            )
+            / l
         ).astype(out_ref.dtype)
 
 
