@@ -544,6 +544,7 @@ def _backward_impl(
     max_distance: int,
     interpret: bool,
     causal: bool = False,
+    block_q: int = 1024,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Backward pass in the head-grid layout.
 
@@ -560,7 +561,7 @@ def _backward_impl(
     h = num_heads
     d = inner // h
     # ~7 live fp32 [BQ, L] tiles per step (bucket/bias/scores/p/probs/dp/dS).
-    block = _pick_block(1024, l, 28, 8 * 1024 * 1024)
+    block = _pick_block(block_q, l, 28, 8 * 1024 * 1024)
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
     mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
 
@@ -724,7 +725,7 @@ def _flash_bwd(
     q, k, v, mask, rel_bias, out = res
     dq, dk, dv, d_rel = _backward_impl(
         q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance,
-        interpret, causal,
+        interpret, causal, block_q,
     )
     if jnp.issubdtype(mask.dtype, jnp.floating):
         dmask = jnp.zeros_like(mask)

@@ -115,6 +115,47 @@ def test_kernel_gradients_vs_reference_math():
         )
 
 
+def test_kernel_multi_qblock_fwd_and_grad():
+    """block_q < L forces multiple q-blocks: the persistent bias scratch
+    must be rebuilt at each q-block's first batch cell (grid runs batch
+    fastest) and the dS accumulator reset — a stale-scratch bug shows up
+    only here, not in the single-block tests above."""
+    from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    B, H, L, d = 3, 4, 256, 8
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.2), jnp.int32).at[:, 0].set(1)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+
+    out = encoder_flash_attention(
+        q, k, v, mask, rel, num_heads=H, block_q=128, interpret=True
+    )
+    ref = _einsum_reference(q, k, v, mask, rel, H, d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+    def loss_flash(q, k, v, rel):
+        out = encoder_flash_attention(
+            q, k, v, mask, rel, num_heads=H, block_q=128, interpret=True
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(_einsum_reference(q, k, v, mask, rel, H, d) * w)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, gf, gr in zip(("dq", "dk", "dv", "drel"), g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=1e-4, err_msg=name
+        )
+
+
 def test_encoder_gradients_flash_vs_naive_under_remat():
     """Model-level: grad of a pooled loss through the flash encoder (with
     remat, the training configuration) matches the naive path."""
