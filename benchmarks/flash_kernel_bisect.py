@@ -98,7 +98,34 @@ def _kernel(
         ).astype(out_ref.dtype)
 
 
+def build_production():
+    """The real kernel (post bias-hoist), for attribution against reality —
+    the ablation variants below reproduce the pre-hoist per-cell design."""
+    from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    @jax.jit
+    def layers(q, k, v, mask, rel):
+        mask2 = mask[:, 0, :]  # [B, L]
+        rel_nb_h = rel[:, 0, :].T  # [NB, H]
+
+        def body(x, _):
+            return (
+                encoder_flash_attention(
+                    x, k, v, mask2, rel_nb_h, num_heads=H,
+                    num_buckets=NB, max_distance=MAXD,
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(body, q, None, length=_ARGS.layers)
+        return out
+
+    return layers
+
+
 def build(variant: str):
+    if variant == "production":
+        return build_production()
     block_q = _pick_block(1024, L, 16, 8 * 1024 * 1024)
     kern = functools.partial(_kernel, variant=variant)
 
@@ -144,7 +171,9 @@ def main():
     mask = jnp.ones((B, 1, L), jnp.int32)
     rel = jax.random.normal(rng, (H, 1, NB), jnp.float32)
 
-    for variant in ("full", "sharedcmp", "nobias", "nosoftmax", "matmulonly"):
+    for variant in (
+        "production", "full", "sharedcmp", "nobias", "nosoftmax", "matmulonly"
+    ):
         fn = build(variant)
         out = fn(q, k, v, mask, rel)
         np.asarray(jax.device_get(out[:1, :1, :1]))
