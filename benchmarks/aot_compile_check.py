@@ -1,0 +1,276 @@
+"""Chipless AOT compile-check of every TPU-only program against v5e.
+
+The CPU test suite proves *semantics* (interpret-mode Pallas, virtual
+meshes) but cannot catch Mosaic/XLA-TPU compile failures — e.g. the
+round-3 scoped-VMEM OOM in the reorder-gather kernel at the causal-engine
+geometry, which crashed serving on the real chip while every CPU test
+passed. libtpu ships in the image, and
+``jax.experimental.topologies.get_topology_desc`` builds a chipless v5e
+compile target from it — so the exact Mosaic pipeline the hardware uses
+runs offline, no tunnel required.
+
+Checks (shapes = the production geometries from BASELINE.md):
+- flash encoder attention fwd+bwd at the embed (B=64, L=1024) and
+  generation-training (B=8, L=2304) shapes;
+- causal + cross decoder attention fwd+bwd at the training shape;
+- the reorder-append gather kernel at both engines' cache geometries;
+- the full stepwise-engine step programs (decode + advance + gather
+  reorder) for the T5 and causal families;
+- the headline embed program (flash encode + masked-mean pooling).
+
+Param/state structures come from ``jax.eval_shape`` — nothing is
+materialized. Exit code != 0 on any failure; one line per check.
+
+Run: ``python benchmarks/aot_compile_check.py``  (kernels ~2-4 min; the
+two full engine-step programs are large graphs and can take tens of
+minutes on a 1-core host — filter with ``--only engine`` /
+``--only kernel`` to split the run).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+import sys as _sys
+
+_os.environ["JAX_PLATFORMS"] = ""  # bypass the axon default; no device used
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+# The default backend must be CPU, not the axon plugin: module imports and
+# eval_shape tracing touch the default backend, and with the tunnel down the
+# plugin retries forever (observed as an infinite nanosleep loop). The env
+# var alone does not stop the plugin from registering — force it here (the
+# CLAUDE.md-documented workaround). The chipless v5e compile target from
+# get_topology_desc is independent of the default backend.
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+FAILURES: list = []
+_ONLY: str = ""
+
+
+def _target():
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    topo = topologies.get_topology_desc(
+        platform="tpu", topology_name="v5e:2x2x1"
+    )
+    mesh = Mesh(np.array([topo.devices[0]]), ("x",))
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def check(name: str, fn, *args) -> None:
+    """AOT-compile ``fn`` for one v5e core; args are ShapeDtypeStructs."""
+    if _ONLY and _ONLY not in name:
+        return
+    rep = _REP
+    args = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep), args
+    )
+    try:
+        jax.jit(fn).lower(*args).compile()
+        print(f"{name}: COMPILE OK", flush=True)
+    except Exception as e:  # report every failure, keep checking
+        FAILURES.append(name)
+        print(f"{name}: FAIL {type(e).__name__}: {str(e)[:400]}", flush=True)
+
+
+def sds(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def main() -> None:
+    global _REP, _ONLY
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--only",
+        default="",
+        help="substring filter on check names (e.g. 'engine', 'attn')",
+    )
+    _ONLY = ap.parse_args().only
+    _REP = _target()
+    bf = jnp.bfloat16
+
+    # ---- attention kernels ---------------------------------------- #
+    from reprover_tpu.ops.flash_attention import (
+        causal_flash_attention,
+        cross_flash_attention,
+        encoder_flash_attention,
+    )
+
+    H, d = 6, 64  # byt5-small geometry
+    enc = functools.partial(encoder_flash_attention, num_heads=H)
+    for B, L, tag in ((64, 1024, "embed"), (8, 2304, "train")):
+        x = sds((B, L, H * d), bf)
+        check(
+            f"enc_attn_fwd_{tag}", enc, x, x, x,
+            sds((B, L), jnp.int32), sds((32, H), jnp.float32),
+        )
+
+    # Tuning probes: forced q-blocks at the generation-training length
+    # (2304), where the VMEM heuristic picks 128. 512 does not divide 2304;
+    # the 128-multiples that do are 256 / 384 / 768. A probe that compiles
+    # here is safe to sweep on hardware via
+    # ``flash_kernel_bisect.py --sweep-block-q``.
+    for bq in (256, 384, 768):
+        x = sds((8, 2304, H * d), bf)
+        check(
+            f"enc_attn_fwd_train_bq{bq}",
+            functools.partial(enc, block_q=bq, force_block_q=True),
+            x, x, x, sds((8, 2304), jnp.int32), sds((32, H), jnp.float32),
+        )
+
+    def enc_grad(q, k, v, mask, rel):
+        f = lambda q, k, v, rel: jnp.sum(
+            encoder_flash_attention(
+                q, k, v, mask, rel, num_heads=H
+            ).astype(jnp.float32)
+            ** 2
+        )
+        return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, rel)
+
+    for B, L, tag in ((8, 1024, "retrieval"), (8, 2304, "train")):
+        x = sds((B, L, H * d), bf)
+        check(
+            f"enc_attn_bwd_{tag}", enc_grad, x, x, x,
+            sds((B, L), jnp.int32), sds((32, H), jnp.float32),
+        )
+
+    # Backward tuning probes (force_block_q applies to fwd AND bwd kernels;
+    # the bwd budget picks 128 at L=2304 — ~7 live fp32 [BQ, L] tiles, so
+    # 256 ≈ 16.5 MB and 384 ≈ 24.8 MB of live temporaries: Mosaic decides).
+    def enc_grad_forced(bq):
+        def fn(q, k, v, mask, rel):
+            f = lambda q, k, v, rel: jnp.sum(
+                encoder_flash_attention(
+                    q, k, v, mask, rel, num_heads=H,
+                    block_q=bq, force_block_q=True,
+                ).astype(jnp.float32)
+                ** 2
+            )
+            return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, rel)
+
+        return fn
+
+    for bq in (256, 384):
+        x = sds((8, 2304, H * d), bf)
+        check(
+            f"enc_attn_bwd_train_bq{bq}", enc_grad_forced(bq), x, x, x,
+            sds((8, 2304), jnp.int32), sds((32, H), jnp.float32),
+        )
+
+    def caus_grad(q, k, v, rel):
+        f = lambda q, k, v, rel: jnp.sum(
+            causal_flash_attention(q, k, v, rel, num_heads=H).astype(
+                jnp.float32
+            )
+            ** 2
+        )
+        return jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, rel)
+
+    x = sds((8, 512, H * d), bf)
+    check(
+        "causal_attn_fwd_train",
+        functools.partial(causal_flash_attention, num_heads=H),
+        x, x, x, sds((32, H), jnp.float32),
+    )
+    check("causal_attn_bwd_train", caus_grad, x, x, x, sds((32, H), jnp.float32))
+
+    def cross_grad(q, k, v, mask):
+        f = lambda q, k, v: jnp.sum(
+            cross_flash_attention(q, k, v, mask, num_heads=H).astype(
+                jnp.float32
+            )
+            ** 2
+        )
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    q = sds((8, 512, H * d), bf)
+    kv = sds((8, 2304, H * d), bf)
+    check(
+        "cross_attn_fwd_train",
+        functools.partial(cross_flash_attention, num_heads=H),
+        q, kv, kv, sds((8, 2304), jnp.int32),
+    )
+    check("cross_attn_bwd_train", cross_grad, q, kv, kv, sds((8, 2304), jnp.int32))
+
+    # ---- reorder-append gather at both engines' cache geometries --- #
+    from reprover_tpu.ops.beam_reorder import reorder_append_gather
+
+    for ld, hh, tag in ((8, 8, "causal"), (4, 6, "t5")):
+        cache = sds((ld, 8, 64, hh, 128, 64), bf)
+        col = sds((ld, 8, 64, hh, 1, 64), bf)
+        check(
+            f"reorder_gather_{tag}", reorder_append_gather,
+            cache, cache, col, col,
+            sds((8, 64), jnp.int32), sds((8,), jnp.bool_), sds((8,), jnp.int32),
+        )
+
+    # ---- full engine step programs (serving hot path) -------------- #
+    from reprover_tpu.generation.causal_engine import (
+        causal_engine_step,
+        init_causal_engine_state,
+    )
+    from reprover_tpu.generation.engine import engine_step, init_engine_state
+    from reprover_tpu.models import causal_lm
+    from reprover_tpu.models.t5 import byt5_small, encode, init_params
+
+    cfg = byt5_small(compute_dtype=bf, flash_encoder=True, unroll_encoder=True)
+    params = jax.eval_shape(
+        lambda: jax.tree.map(
+            lambda x: x.astype(bf), init_params(jax.random.PRNGKey(0), cfg)
+        )
+    )
+    state = jax.eval_shape(
+        lambda: init_engine_state(None, cfg, 8, 64, 512, 128)
+    )
+    check(
+        "t5_engine_step",
+        lambda p, s: engine_step(p, cfg, s, 0.0, gather_reorder=True),
+        params, state,
+    )
+
+    ccfg = causal_lm.CausalLMConfig(
+        vocab_size=4096, d_model=1024, num_layers=8, num_heads=16,
+        num_kv_heads=8, d_ff=2816, compute_dtype=bf,
+    )
+    cparams = jax.eval_shape(
+        lambda: jax.tree.map(
+            lambda x: x.astype(bf),
+            causal_lm.init_params(jax.random.PRNGKey(0), ccfg),
+        )
+    )
+    cstate = jax.eval_shape(lambda: init_causal_engine_state(ccfg, 8, 64, 512, 128))
+    check(
+        "causal_engine_step",
+        lambda p, s: causal_engine_step(p, ccfg, s, 0.0, gather_reorder=True),
+        cparams, cstate,
+    )
+
+    # ---- headline embed program (bench.py hot path) ----------------- #
+    from reprover_tpu.ops import masked_mean_normalize
+
+    def embed(p, ids, mask):
+        return masked_mean_normalize(encode(p, cfg, ids, mask), mask)
+
+    check(
+        "embed_bench_program", embed, params,
+        sds((64, 1024), jnp.int32), sds((64, 1024), jnp.int32),
+    )
+
+    if FAILURES:
+        print(f"FAILED: {FAILURES}")
+        raise SystemExit(1)
+    print("ALL COMPILE OK")
+
+
+if __name__ == "__main__":
+    main()

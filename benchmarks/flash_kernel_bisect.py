@@ -48,6 +48,13 @@ _ap.add_argument("--heads", type=int, default=6)
 _ap.add_argument("--d", type=int, default=64)
 _ap.add_argument("--layers", type=int, default=12)
 _ap.add_argument("--reps", type=int, default=3)
+_ap.add_argument(
+    "--sweep-block-q",
+    default="",
+    help="comma list of forced production block_q values to time as extra "
+    "variants (e.g. 256,512 at L=2304 where the VMEM heuristic picks 128); "
+    "AOT-validate with benchmarks/aot_compile_check.py first",
+)
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 B, L, H, D = _ARGS.batch, _ARGS.seq, _ARGS.heads, _ARGS.d
@@ -98,10 +105,13 @@ def _kernel(
         ).astype(out_ref.dtype)
 
 
-def build_production():
+def build_production(force_bq: int = 0):
     """The real kernel (post bias-hoist), for attribution against reality —
-    the ablation variants below reproduce the pre-hoist per-cell design."""
+    the ablation variants below reproduce the pre-hoist per-cell design.
+    ``force_bq`` overrides the VMEM block-size heuristic (0 = default)."""
     from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    kw = {"block_q": force_bq, "force_block_q": True} if force_bq else {}
 
     @jax.jit
     def layers(q, k, v, mask, rel):
@@ -112,7 +122,7 @@ def build_production():
             return (
                 encoder_flash_attention(
                     x, k, v, mask2, rel_nb_h, num_heads=H,
-                    num_buckets=NB, max_distance=MAXD,
+                    num_buckets=NB, max_distance=MAXD, **kw,
                 ),
                 None,
             )
@@ -126,6 +136,8 @@ def build_production():
 def build(variant: str):
     if variant == "production":
         return build_production()
+    if variant.startswith("production_bq"):
+        return build_production(force_bq=int(variant[len("production_bq"):]))
     block_q = _pick_block(1024, L, 16, 8 * 1024 * 1024)
     kern = functools.partial(_kernel, variant=variant)
 
@@ -171,9 +183,15 @@ def main():
     mask = jnp.ones((B, 1, L), jnp.int32)
     rel = jax.random.normal(rng, (H, 1, NB), jnp.float32)
 
-    for variant in (
+    variants = [
         "production", "full", "sharedcmp", "nobias", "nosoftmax", "matmulonly"
-    ):
+    ]
+    if _ARGS.sweep_block_q:
+        variants[1:1] = [
+            f"production_bq{int(s)}"
+            for s in _ARGS.sweep_block_q.split(",") if s.strip()
+        ]
+    for variant in variants:
         fn = build(variant)
         out = fn(q, k, v, mask, rel)
         np.asarray(jax.device_get(out[:1, :1, :1]))

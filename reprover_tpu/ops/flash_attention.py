@@ -250,11 +250,19 @@ def _pick_block(
     tile_bytes: int,
     budget_bytes: int,
     tile_cols: int | None = None,
+    force: bool = False,
 ) -> int:
     """Largest 128-multiple block of ``l`` whose score tiles fit the budget.
 
     ``tile_cols`` is the tiles' second dimension (defaults to ``l`` — the
-    square self-attention case; cross-attention tiles are rectangular)."""
+    square self-attention case; cross-attention tiles are rectangular).
+    ``force`` trusts the caller's ``block_q`` (must divide ``l``) instead of
+    the VMEM budget heuristic — a tuning knob for shapes where the
+    conservative budget under-blocks (e.g. BQ 128 at L=2304) but Mosaic
+    still fits; validate candidates with ``benchmarks/aot_compile_check.py``
+    before shipping a default."""
+    if force and l % block_q == 0 and block_q <= l:
+        return block_q
     cols = l if tile_cols is None else tile_cols
     budget_rows = max(128, budget_bytes // (tile_bytes * cols))
     for cand in (block_q, 512, 256, 128):
@@ -275,13 +283,14 @@ def _forward_impl(
     block_q: int,
     interpret: bool,
     causal: bool = False,
+    force_block_q: bool = False,
 ) -> jax.Array:
     b, l, inner = q.shape
     # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
     # live (scores, bucket map, bias, exp); budget them to ~8 MB so the
     # whole cell (plus K/V and double-buffered blocks) stays under the
     # 16 MB VMEM limit.
-    block_q = _pick_block(block_q, l, 16, 8 * 1024 * 1024)
+    block_q = _pick_block(block_q, l, 16, 8 * 1024 * 1024, force=force_block_q)
     # Singleton middle dims keep the trailing block dims equal to the full
     # array dims (Mosaic's (8, 128)-or-full tiling rule).
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
@@ -545,6 +554,7 @@ def _backward_impl(
     interpret: bool,
     causal: bool = False,
     block_q: int = 1024,
+    force_block_q: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Backward pass in the head-grid layout.
 
@@ -561,7 +571,7 @@ def _backward_impl(
     h = num_heads
     d = inner // h
     # ~7 live fp32 [BQ, L] tiles per step (bucket/bias/scores/p/probs/dp/dS).
-    block = _pick_block(block_q, l, 28, 8 * 1024 * 1024)
+    block = _pick_block(block_q, l, 28, 8 * 1024 * 1024, force=force_block_q)
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
     mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
 
@@ -671,7 +681,7 @@ def _backward_impl(
 # ------------------------------------------------------------------ #
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -684,10 +694,11 @@ def _flash_attention(
     block_q: int,
     interpret: bool,
     causal: bool,
+    force_block_q: bool,
 ) -> jax.Array:
     return _forward_impl(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, causal,
+        block_q, interpret, causal, force_block_q,
     )
 
 
@@ -703,10 +714,11 @@ def _flash_fwd(
     block_q: int,
     interpret: bool,
     causal: bool,
+    force_block_q: bool,
 ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
     out = _forward_impl(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, causal,
+        block_q, interpret, causal, force_block_q,
     )
     # Flash-style residuals: inputs + output, never the [L, L] intermediates.
     return out, (q, k, v, mask, rel_bias, out)
@@ -719,13 +731,14 @@ def _flash_bwd(
     block_q: int,
     interpret: bool,
     causal: bool,
+    force_block_q: bool,
     res: tuple[jax.Array, ...],
     g: jax.Array,
 ) -> tuple[jax.Array, ...]:
     q, k, v, mask, rel_bias, out = res
     dq, dk, dv, d_rel = _backward_impl(
         q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance,
-        interpret, causal, block_q,
+        interpret, causal, block_q, force_block_q,
     )
     if jnp.issubdtype(mask.dtype, jnp.floating):
         dmask = jnp.zeros_like(mask)
@@ -745,6 +758,7 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
         "max_distance",
         "block_q",
         "interpret",
+        "force_block_q",
     ),
 )
 def encoder_flash_attention(
@@ -758,12 +772,13 @@ def encoder_flash_attention(
     max_distance: int = 128,
     block_q: int = 1024,
     interpret: bool = False,
+    force_block_q: bool = False,
 ) -> jnp.ndarray:
     """Fused bidirectional T5 self-attention -> [B, L, H*d]. Differentiable
     (custom VJP with Pallas backward kernels) — usable in training."""
     return _flash_attention(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, False,
+        block_q, interpret, False, force_block_q,
     )
 
 
@@ -804,7 +819,7 @@ def causal_flash_attention(
     ones = jnp.ones((q.shape[0], q.shape[1]), jnp.int32)
     return _flash_attention(
         q, k, v, ones, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, True,
+        block_q, interpret, True, False,
     )
 
 

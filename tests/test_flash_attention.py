@@ -156,6 +156,31 @@ def test_kernel_multi_qblock_fwd_and_grad():
         )
 
 
+def test_kernel_forced_block_q():
+    """``force_block_q=True`` bypasses the VMEM budget heuristic: at L=384
+    the heuristic picks 128, a forced 384 must run one q-block and match.
+    (The knob exists to sweep larger q-blocks at L=2304 on hardware, where
+    the conservative budget under-blocks — see flash_kernel_bisect.py.)"""
+    from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    B, H, L, d = 2, 4, 384, 8
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.2), jnp.int32).at[:, 0].set(1)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+
+    forced = encoder_flash_attention(
+        q, k, v, mask, rel, num_heads=H, block_q=384, force_block_q=True,
+        interpret=True,
+    )
+    ref = _einsum_reference(q, k, v, mask, rel, H, d)
+    np.testing.assert_allclose(
+        np.asarray(forced), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_encoder_gradients_flash_vs_naive_under_remat():
     """Model-level: grad of a pooled loss through the flash encoder (with
     remat, the training configuration) matches the naive path."""
