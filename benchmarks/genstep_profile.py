@@ -35,6 +35,11 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--policy", default="lite", choices=["full", "lite", "offload"])
 _ap.add_argument("--reps", type=int, default=4)
 _ap.add_argument("--batch", type=int, default=8)
+_ap.add_argument(
+    "--flash-block-q", type=int, default=0,
+    help="force the flash-encoder q-block (0 = heuristic; 256/384/768 "
+    "divide L=2304 and AOT-compile — see aot_compile_check.py)",
+)
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 V5E_PEAK_TFLOPS = 197.0
@@ -73,6 +78,7 @@ def main() -> None:
         remat_policy=_ARGS.policy,
         flash_encoder=on_tpu,
         flash_decoder=on_tpu,
+        flash_block_q=_ARGS.flash_block_q,
     )
     params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)

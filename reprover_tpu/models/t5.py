@@ -75,6 +75,11 @@ class T5Config:
     # larger compile, measured ~6% faster steps — scan's per-layer slicing
     # has real cost; training keeps scan for O(1) HLO and remat).
     unroll_encoder: bool = False
+    # Force the flash-encoder q-block size (0 = VMEM budget heuristic).
+    # The heuristic under-blocks at L=2304 (picks 128 where 256/384/768
+    # fit — validated by benchmarks/aot_compile_check.py probes); sweep on
+    # hardware with benchmarks/flash_kernel_bisect.py --sweep-block-q.
+    flash_block_q: int = 0
 
     @property
     def inner_dim(self) -> int:
@@ -426,6 +431,11 @@ def encode(
                 num_buckets=cfg.relative_attention_num_buckets,
                 max_distance=cfg.relative_attention_max_distance,
                 interpret=interpret,
+                **(
+                    {"block_q": cfg.flash_block_q, "force_block_q": True}
+                    if cfg.flash_block_q
+                    else {}
+                ),
             )
             attn = checkpoint_name(attn, "attn_out")
             h = h + _dense(attn, p["o"], dtype)

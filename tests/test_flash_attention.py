@@ -181,6 +181,26 @@ def test_kernel_forced_block_q():
     )
 
 
+def test_model_flash_block_q_config():
+    """cfg.flash_block_q forces the encoder kernel's q-block (128 at L=256
+    where the heuristic picks 256) — encode output must match the naive
+    path exactly as with the default blocking."""
+    import dataclasses as dc
+
+    cfg_forced = dc.replace(TINY, flash_encoder=True, flash_block_q=128)
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(23)
+    B, L = 2, 256
+    ids = jnp.asarray(rng.integers(3, TINY.vocab_size, (B, L)), jnp.int32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.25), jnp.int32).at[:, :4].set(1)
+
+    naive = encode(params, TINY, ids, mask)
+    forced = encode(params, cfg_forced, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(forced), np.asarray(naive), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_encoder_gradients_flash_vs_naive_under_remat():
     """Model-level: grad of a pooled loss through the flash encoder (with
     remat, the training configuration) matches the naive path."""
