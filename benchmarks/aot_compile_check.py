@@ -66,7 +66,12 @@ def _target():
 
 
 def check(name: str, fn, *args) -> None:
-    """AOT-compile ``fn`` for one v5e core; args are ShapeDtypeStructs."""
+    """AOT-compile ``fn`` for one v5e core; args are ShapeDtypeStructs.
+
+    Already-jit'd callables (e.g. the train step from
+    ``make_train_step``, which carries ``donate_argnums``) are lowered
+    directly so donation survives — buffer-assignment OOM checks are only
+    realistic with the real donation set."""
     if _ONLY and _ONLY not in name:
         return
     rep = _REP
@@ -74,7 +79,8 @@ def check(name: str, fn, *args) -> None:
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep), args
     )
     try:
-        jax.jit(fn).lower(*args).compile()
+        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        jitted.lower(*args).compile()
         print(f"{name}: COMPILE OK", flush=True)
     except Exception as e:  # report every failure, keep checking
         FAILURES.append(name)
@@ -253,6 +259,53 @@ def main() -> None:
         "causal_engine_step",
         lambda p, s: causal_engine_step(p, ccfg, s, 0.0, gather_reorder=True),
         cparams, cstate,
+    )
+
+    # ---- full training-step programs (reference configs) ----------- #
+    # Compiled with the real donation set, so XLA's buffer assignment
+    # checks the true HBM footprint: a config that would OOM at runtime
+    # fails HERE, offline (TPU compile-time OOM is a compile error).
+    from reprover_tpu.models.t5 import fuse_mlp_params
+    from reprover_tpu.training import (
+        generation_loss,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        retrieval_loss,
+    )
+
+    tcfg = byt5_small(
+        compute_dtype=bf, remat=True, remat_policy="lite",
+        flash_encoder=True, flash_decoder=True,
+    )
+    tx = make_optimizer(1e-4, 10)
+    tstate = jax.eval_shape(
+        lambda: init_train_state(
+            fuse_mlp_params(init_params(jax.random.PRNGKey(0), tcfg)), tx
+        )
+    )
+    B, Lr, Lg, T = 8, 1024, 2304, 512
+    rbatch = {
+        "context_ids": sds((B, Lr), jnp.int32),
+        "context_mask": sds((B, Lr), jnp.int32),
+        "premise_ids": sds((B * 4, Lr), jnp.int32),
+        "premise_mask": sds((B * 4, Lr), jnp.int32),
+        "label": sds((B, B * 4), jnp.float32),
+    }
+    check(
+        "retrieval_train_step",
+        make_train_step(retrieval_loss, tcfg, tx),
+        tstate, rbatch,
+    )
+    gbatch = {
+        "state_ids": sds((B, Lg), jnp.int32),
+        "state_mask": sds((B, Lg), jnp.int32),
+        "tactic_ids": sds((B, T), jnp.int32),
+    }
+    check(
+        "gen_train_step",
+        make_train_step(generation_loss, tcfg, tx),
+        tstate, gbatch,
     )
 
     # ---- headline embed program (bench.py hot path) ----------------- #
