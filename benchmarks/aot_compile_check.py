@@ -134,6 +134,16 @@ def main() -> None:
             x, x, x, sds((8, 2304), jnp.int32), sds((32, H), jnp.float32),
         )
 
+    # Long-context: any L > 4096 auto-routes to the KV-blocked online-
+    # softmax kernel (O(N) VMEM — the full-row design cannot compile at
+    # these lengths; blockwise is bounded by HBM only).
+    for B, L in ((8, 8192), (2, 16384)):
+        x = sds((B, L, H * d), bf)
+        check(
+            f"enc_attn_fwd_blockwise_{L}", enc, x, x, x,
+            sds((B, L), jnp.int32), sds((32, H), jnp.float32),
+        )
+
     def enc_grad(q, k, v, mask, rel):
         f = lambda q, k, v, rel: jnp.sum(
             encoder_flash_attention(

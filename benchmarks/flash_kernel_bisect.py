@@ -55,6 +55,13 @@ _ap.add_argument(
     "variants (e.g. 256,512 at L=2304 where the VMEM heuristic picks 128); "
     "AOT-validate with benchmarks/aot_compile_check.py first",
 )
+_ap.add_argument(
+    "--block-kv",
+    type=int,
+    default=0,
+    help="also time the KV-blocked online-softmax kernel at this KV block "
+    "size (production_bkN variant; auto-selected for L > 4096 anyway)",
+)
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 B, L, H, D = _ARGS.batch, _ARGS.seq, _ARGS.heads, _ARGS.d
@@ -105,13 +112,16 @@ def _kernel(
         ).astype(out_ref.dtype)
 
 
-def build_production(force_bq: int = 0):
+def build_production(force_bq: int = 0, block_kv: int = 0):
     """The real kernel (post bias-hoist), for attribution against reality —
     the ablation variants below reproduce the pre-hoist per-cell design.
-    ``force_bq`` overrides the VMEM block-size heuristic (0 = default)."""
+    ``force_bq`` overrides the VMEM block-size heuristic (0 = default);
+    ``block_kv`` selects the KV-blocked online-softmax kernel."""
     from reprover_tpu.ops.flash_attention import encoder_flash_attention
 
-    kw = {"block_q": force_bq, "force_block_q": True} if force_bq else {}
+    kw: dict = {"block_q": force_bq, "force_block_q": True} if force_bq else {}
+    if block_kv:
+        kw = {"block_kv": block_kv}
 
     @jax.jit
     def layers(q, k, v, mask, rel):
@@ -138,6 +148,8 @@ def build(variant: str):
         return build_production()
     if variant.startswith("production_bq"):
         return build_production(force_bq=int(variant[len("production_bq"):]))
+    if variant.startswith("production_bk"):
+        return build_production(block_kv=int(variant[len("production_bk"):]))
     block_q = _pick_block(1024, L, 16, 8 * 1024 * 1024)
     kern = functools.partial(_kernel, variant=variant)
 
@@ -191,6 +203,8 @@ def main():
             f"production_bq{int(s)}"
             for s in _ARGS.sweep_block_q.split(",") if s.strip()
         ]
+    if _ARGS.block_kv:
+        variants.insert(1, f"production_bk{_ARGS.block_kv}")
     for variant in variants:
         fn = build(variant)
         out = fn(q, k, v, mask, rel)

@@ -76,6 +76,7 @@ def _bucket_map(
     max_distance: int,
     transposed: bool = False,
     bidirectional: bool = True,
+    col_start: jnp.ndarray | int = 0,  # first column (blockwise KV kernels)
 ) -> jnp.ndarray:
     """[block_rows, num_cols] int32 T5 relative-position buckets.
 
@@ -89,7 +90,9 @@ def _bucket_map(
     rows = row_start + jax.lax.broadcasted_iota(
         jnp.int32, (block_rows, num_cols), 0
     )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_cols), 1)
+    cols = col_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, num_cols), 1
+    )
     rel = (rows - cols) if transposed else (cols - rows)
 
     if bidirectional:
@@ -244,6 +247,220 @@ def _encoder_attn_kernel(
         ).astype(out_ref.dtype)
 
 
+def _encoder_attn_kernel_blockwise(
+    q_ref: jax.Array,  # [1, BQ, H*d]
+    k_ref: jax.Array,  # [1, BK, H*d]
+    v_ref: jax.Array,  # [1, BK, H*d]
+    mask_ref: jax.Array,  # [1, 1, BK] int32
+    rel_ref: jax.Array,  # [H, 1, num_buckets] fp32
+    out_ref: jax.Array,  # [1, BQ, H*d] — revisited across ki, written at last
+    bucket_scr: jax.Array,  # [BQ, BK] int32 scratch
+    bias_scr: jax.Array,  # [BQ, BK] fp32 scratch (reused per head)
+    m_scr: jax.Array,  # [H, BQ] fp32 — running row max
+    l_scr: jax.Array,  # [H, BQ] fp32 — running row sum
+    acc_scr: jax.Array,  # [BQ, H*d] fp32 — running PV accumulator
+    *,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+) -> None:
+    """KV-blocked bidirectional T5 self-attention with online softmax.
+
+    The survey's blockwise design (SURVEY.md §5 long-context): O(N) VMEM —
+    neither K/V nor any [BQ, L] tile is ever resident, so sequence length
+    is bounded by HBM, not by the 128 MB VMEM (the full-row kernel above
+    needs ~L·inner·2 KV bytes + [BQ, L] score tiles per cell and tops out
+    around L≈8-16k).
+
+    T5-specific trick that makes the position bias O(N) instead of O(N²):
+    buckets saturate at ``max_distance`` (`_bucket_map`), so any KV block
+    whose whole relative-position range lies beyond it has a *constant*
+    per-head bias — ``rel_vec[nb-1]`` right of the diagonal, or
+    ``rel_vec[nb//2-1]`` left of it. Only the ~⌈(max_distance+BQ)/BK⌉+1
+    near-diagonal blocks per q-block run the 32-way select chain (the
+    kernel's historical VPU bottleneck); far blocks broadcast a scalar.
+
+    Padding: masked scores are -1e10; a *fully masked* KV block leaves the
+    running max at -1e10 until a valid block raises it, at which point the
+    ``exp(m_prev - m_new)`` rescale zeroes the garbage l/acc exactly —
+    same guarantee as the full-row kernel (each row needs >= 1 valid key,
+    which the tokenizer invariant provides).
+    """
+    block_q = q_ref.shape[1]
+    block_kv = k_ref.shape[1]
+    d = k_ref.shape[2] // num_heads
+    qi, ki = pl.program_id(0), pl.program_id(2)
+    nk = pl.num_programs(2)
+    q_start = qi * block_q
+    k_start = ki * block_kv
+
+    right_far = k_start - (q_start + block_q - 1) >= max_distance
+    left_far = q_start - (k_start + block_kv - 1) >= max_distance
+    is_near = jnp.logical_not(jnp.logical_or(right_far, left_far))
+    half = num_buckets // 2
+
+    @pl.when(ki == 0)
+    def _init() -> None:
+        m_scr[...] = jnp.full(m_scr.shape, -1e30, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # Head-independent bucket map, built once per near cell.
+    @pl.when(is_near)
+    def _bucket() -> None:
+        bucket_scr[...] = _bucket_map(
+            q_start, block_q, block_kv, num_buckets, max_distance,
+            col_start=k_start,
+        )
+
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+
+    for h in range(num_heads):
+        rel_vec = rel_ref[h, 0]  # [num_buckets]
+
+        @pl.when(is_near)
+        def _near_bias(rel_vec: jax.Array = rel_vec) -> None:
+            bias_scr[...] = _bias_tile(
+                bucket_scr[...], lambda b: rel_vec[b], num_buckets
+            )
+
+        @pl.when(jnp.logical_not(is_near))
+        def _far_bias(rel_vec: jax.Array = rel_vec) -> None:
+            const = jnp.where(
+                k_start > q_start, rel_vec[num_buckets - 1], rel_vec[half - 1]
+            )
+            bias_scr[...] = jnp.full(
+                (block_q, block_kv), 0.0, jnp.float32
+            ) + const
+
+        qh = q_ref[0, :, h * d : (h + 1) * d]
+        kh = k_ref[0, :, h * d : (h + 1) * d]
+        vh = v_ref[0, :, h * d : (h + 1) * d]
+
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK] fp32 (T5: unscaled)
+        scores += bias_scr[...] + mask_bias
+
+        m_prev = m_scr[h]  # [BQ]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+        p = jnp.exp(scores - m_new[:, None])  # [BQ, BK]
+        alpha = jnp.exp(m_prev - m_new)  # [BQ]
+        l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1)
+        m_scr[h] = m_new
+        pv = jnp.dot(
+            p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+        )  # [BQ, d]
+        acc_scr[:, h * d : (h + 1) * d] = (
+            acc_scr[:, h * d : (h + 1) * d] * alpha[:, None] + pv
+        )
+
+    @pl.when(ki == nk - 1)
+    def _emit() -> None:
+        for h in range(num_heads):
+            out_ref[0, :, h * d : (h + 1) * d] = (
+                acc_scr[:, h * d : (h + 1) * d] / l_scr[h][:, None]
+            ).astype(out_ref.dtype)
+
+
+def _blockwise_forward_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    rel_bias: jax.Array,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> jax.Array:
+    b, l, inner = q.shape
+    # Working set is O(BQ·BK), independent of L — a fixed 512/512 block
+    # pair keeps every tile comfortably inside VMEM at any sequence length.
+    block_q = _largest_divisor_block(l, block_q)
+    block_kv = _largest_divisor_block(l, block_kv)
+    rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
+    d = inner // num_heads
+    flops = 2 * 2 * b * num_heads * l * l * d + 40 * b * num_heads * l * l
+
+    kernel = functools.partial(
+        _encoder_attn_kernel_blockwise,
+        num_heads=num_heads,
+        num_buckets=num_buckets,
+        max_distance=max_distance,
+    )
+    # ki fastest (the online-softmax scratches carry across it), batch
+    # middle, q-block major: the q block stays resident across the whole
+    # KV sweep; K/V blocks stream through double-buffered.
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, inner), q.dtype),
+        grid=(l // block_q, b, l // block_kv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, inner),
+                lambda qi, bi, ki: (bi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, inner),
+                lambda qi, bi, ki: (bi, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_kv, inner),
+                lambda qi, bi, ki: (bi, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv),
+                lambda qi, bi, ki: (bi, 0, ki),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (num_heads, 1, rel_hb.shape[2]),
+                lambda qi, bi, ki: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, inner),
+            lambda qi, bi, ki: (bi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, block_kv), jnp.int32),
+            pltpu.VMEM((block_q, block_kv), jnp.float32),
+            pltpu.VMEM((num_heads, block_q), jnp.float32),
+            pltpu.VMEM((num_heads, block_q), jnp.float32),
+            pltpu.VMEM((block_q, inner), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=q.size * 8,
+            transcendentals=b * num_heads * l * l,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask3, rel_hb)
+
+
+def _largest_divisor_block(l: int, target: int) -> int:
+    """Largest 128-multiple <= target that divides l (l itself if none)."""
+    cand = (min(target, l) // 128) * 128
+    while cand >= 128:
+        if l % cand == 0:
+            return cand
+        cand -= 128
+    return l
+
+
 def _pick_block(
     block_q: int,
     l: int,
@@ -284,8 +501,18 @@ def _forward_impl(
     interpret: bool,
     causal: bool = False,
     force_block_q: bool = False,
+    block_kv: int = 0,
 ) -> jax.Array:
     b, l, inner = q.shape
+    # KV-blocked path: explicit ``block_kv``, or automatically once the
+    # full-row design's VMEM working set (full K/V per cell + [BQ, L]
+    # score tiles + the [H, BQ, L] bias scratch) stops fitting — ~L > 4k.
+    # Bidirectional only: the decoder's causal form runs at T <= 512.
+    if not causal and (block_kv or l > 4096):
+        return _blockwise_forward_impl(
+            q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
+            512 if block_q > 512 else block_q, block_kv or 512, interpret,
+        )
     # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
     # live (scores, bucket map, bias, exp); budget them to ~8 MB so the
     # whole cell (plus K/V and double-buffered blocks) stays under the
@@ -681,7 +908,9 @@ def _backward_impl(
 # ------------------------------------------------------------------ #
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12)
+)
 def _flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -695,10 +924,11 @@ def _flash_attention(
     interpret: bool,
     causal: bool,
     force_block_q: bool,
+    block_kv: int,
 ) -> jax.Array:
     return _forward_impl(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, causal, force_block_q,
+        block_q, interpret, causal, force_block_q, block_kv,
     )
 
 
@@ -715,10 +945,11 @@ def _flash_fwd(
     interpret: bool,
     causal: bool,
     force_block_q: bool,
+    block_kv: int,
 ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
     out = _forward_impl(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, causal, force_block_q,
+        block_q, interpret, causal, force_block_q, block_kv,
     )
     # Flash-style residuals: inputs + output, never the [L, L] intermediates.
     return out, (q, k, v, mask, rel_bias, out)
@@ -732,6 +963,7 @@ def _flash_bwd(
     interpret: bool,
     causal: bool,
     force_block_q: bool,
+    block_kv: int,
     res: tuple[jax.Array, ...],
     g: jax.Array,
 ) -> tuple[jax.Array, ...]:
@@ -759,6 +991,7 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
         "block_q",
         "interpret",
         "force_block_q",
+        "block_kv",
     ),
 )
 def encoder_flash_attention(
@@ -773,12 +1006,20 @@ def encoder_flash_attention(
     block_q: int = 1024,
     interpret: bool = False,
     force_block_q: bool = False,
+    block_kv: int = 0,
 ) -> jnp.ndarray:
     """Fused bidirectional T5 self-attention -> [B, L, H*d]. Differentiable
-    (custom VJP with Pallas backward kernels) — usable in training."""
+    (custom VJP with Pallas backward kernels) — usable in training.
+
+    ``block_kv`` > 0 (or any L > 4096) selects the KV-blocked online-softmax
+    kernel: O(N) VMEM, so single-chip context length is bounded by HBM —
+    the survey's blockwise long-context design (SURVEY.md §5). Forward
+    only: the backward kernels keep the full-KV-row design, which holds to
+    L≈4k — at reference training lengths (<= 2304) gradients are unaffected.
+    """
     return _flash_attention(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, False, force_block_q,
+        block_q, interpret, False, force_block_q, block_kv,
     )
 
 
@@ -819,7 +1060,7 @@ def causal_flash_attention(
     ones = jnp.ones((q.shape[0], q.shape[1]), jnp.int32)
     return _flash_attention(
         q, k, v, ones, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, True, False,
+        block_q, interpret, True, False, 0,
     )
 
 

@@ -181,6 +181,74 @@ def test_kernel_forced_block_q():
     )
 
 
+def test_blockwise_kernel_vs_reference_math():
+    """KV-blocked online-softmax kernel (block_kv > 0): exact parity with
+    the einsum reference at a length with near AND far KV blocks
+    (max_distance=128, BK=128 at L=512 → q-block 0 sees blocks at
+    distance >= 128 whose bias is the saturated per-head constant), and a
+    fully masked tail block (the online rescale must zero its garbage)."""
+    from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    B, H, L, d = 2, 4, 512, 8
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    mask = jnp.ones((B, L), jnp.int32).at[:, 352:].set(0)  # last block fully masked
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+
+    out = encoder_flash_attention(
+        q, k, v, mask, rel, num_heads=H, block_q=128, block_kv=128,
+        interpret=True,
+    )
+    ref = _einsum_reference(q, k, v, mask, rel, H, d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_blockwise_kernel_ragged_mask_and_grad():
+    """Blockwise forward with a ragged per-row mask; gradients still flow
+    (the VJP's backward keeps the full-row kernels, independent of the
+    forward's KV blocking)."""
+    from reprover_tpu.ops.flash_attention import encoder_flash_attention
+
+    B, H, L, d = 2, 4, 384, 8
+    rng = np.random.default_rng(37)
+    q = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, L)) > 0.3), jnp.int32).at[:, 0].set(1)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, L, H * d)), jnp.float32)
+
+    out = encoder_flash_attention(
+        q, k, v, mask, rel, num_heads=H, block_q=128, block_kv=128,
+        interpret=True,
+    )
+    ref = _einsum_reference(q, k, v, mask, rel, H, d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+    def loss_blockwise(q, k, v, rel):
+        out = encoder_flash_attention(
+            q, k, v, mask, rel, num_heads=H, block_q=128, block_kv=128,
+            interpret=True,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(_einsum_reference(q, k, v, mask, rel, H, d) * w)
+
+    g_bw = jax.grad(loss_blockwise, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, gf, gr in zip(("dq", "dk", "dv", "drel"), g_bw, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=1e-4, err_msg=name
+        )
+
+
 def test_model_flash_block_q_config():
     """cfg.flash_block_q forces the encoder kernel's q-block (128 at L=256
     where the heuristic picks 256) — encode output must match the naive
