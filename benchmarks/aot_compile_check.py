@@ -183,6 +183,14 @@ def main() -> None:
             sds((8, 2304), jnp.int32), sds((32, H), jnp.float32),
         )
 
+    # Long-context backward: L > 4096 auto-routes to the blockwise bwd
+    # (LSE-recompute + blockwise dq/d_bias + dk/dv kernels).
+    x = sds((2, 8192, H * d), bf)
+    check(
+        "enc_attn_bwd_blockwise_8192", enc_grad, x, x, x,
+        sds((2, 8192), jnp.int32), sds((32, H), jnp.float32),
+    )
+
     def caus_grad(q, k, v, rel):
         f = lambda q, k, v, rel: jnp.sum(
             causal_flash_attention(q, k, v, rel, num_heads=H).astype(

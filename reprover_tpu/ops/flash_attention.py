@@ -767,6 +767,427 @@ def _bwd_dkv_kernel(
     ).astype(dk_ref.dtype)
 
 
+# ------------------------------------------------------------------ #
+# Blockwise backward (long context): LSE recompute + dq/d_bias + dk/dv
+# ------------------------------------------------------------------ #
+
+
+def _block_far_bias(
+    bias_scr: jax.Array,  # [rows, cols] fp32 scratch to fill
+    get_rel: Callable[[int], jax.Array],
+    row_start: jnp.ndarray,
+    col_start: jnp.ndarray,
+    num_buckets: int,
+    max_distance: int,
+    transposed: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fill ``bias_scr`` for one (q-block, kv-block) pair of the blockwise
+    kernels: near-diagonal blocks run the bucket-map select chain, far
+    blocks broadcast the saturated per-head constant (T5 buckets saturate
+    at ``max_distance`` — see the forward blockwise kernel). Returns
+    ``(is_near, far_bucket)`` so the caller can route the d_bias reduction
+    the same way.
+
+    Orientation: ``transposed=False`` → rows are queries at ``row_start``,
+    cols are keys at ``col_start``; ``transposed=True`` → rows are keys at
+    ``row_start``, cols are queries at ``col_start``.
+    """
+    rows, cols = bias_scr.shape
+    if transposed:
+        q0, qn, k0, kn = col_start, cols, row_start, rows
+    else:
+        q0, qn, k0, kn = row_start, rows, col_start, cols
+    right_far = k0 - (q0 + qn - 1) >= max_distance
+    left_far = q0 - (k0 + kn - 1) >= max_distance
+    is_near = jnp.logical_not(jnp.logical_or(right_far, left_far))
+    far_bucket = jnp.where(k0 > q0, num_buckets - 1, num_buckets // 2 - 1)
+
+    @pl.when(is_near)
+    def _near() -> None:
+        bucket = _bucket_map(
+            row_start, rows, cols, num_buckets, max_distance,
+            transposed=transposed, col_start=col_start,
+        )
+        bias_scr[...] = _bias_tile(bucket, get_rel, num_buckets)
+
+    @pl.when(jnp.logical_not(is_near))
+    def _far() -> None:
+        const = jnp.where(
+            k0 > q0, get_rel(num_buckets - 1), get_rel(num_buckets // 2 - 1)
+        )
+        bias_scr[...] = jnp.zeros((rows, cols), jnp.float32) + const
+
+    return is_near, far_bucket
+
+
+def _bwd_lse_kernel_blockwise(
+    q_ref: jax.Array,  # [1, BQ, H*d]
+    k_ref: jax.Array,  # [1, BK, H*d]
+    mask_ref: jax.Array,  # [1, 1, BK] int32
+    rel_ref: jax.Array,  # [H, 1, nb] fp32
+    lse_ref: jax.Array,  # [1, H, 1, BQ] fp32 — written at last ki
+    bias_scr: jax.Array,  # [BQ, BK] fp32
+    m_scr: jax.Array,  # [H, BQ] fp32
+    l_scr: jax.Array,  # [H, BQ] fp32
+    *,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+) -> None:
+    """Online recompute of the forward row log-sum-exp, KV-blocked.
+
+    The full-row dq kernel gets the LSE for free (whole row in VMEM); at
+    long context the backward needs it first, so the blockwise path runs
+    this cheap sweep (one QK^T matmul, no PV) before dq/dkv.
+    """
+    block_q = q_ref.shape[1]
+    block_kv = k_ref.shape[1]
+    d = k_ref.shape[2] // num_heads
+    qi, ki = pl.program_id(0), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init() -> None:
+        m_scr[...] = jnp.full(m_scr.shape, -1e30, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+
+    for h in range(num_heads):
+        rel_vec = rel_ref[h, 0]
+        _block_far_bias(
+            bias_scr, lambda b: rel_vec[b], qi * block_q, ki * block_kv,
+            num_buckets, max_distance, False,
+        )
+        qh = q_ref[0, :, h * d : (h + 1) * d]
+        kh = k_ref[0, :, h * d : (h + 1) * d]
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores += bias_scr[...] + mask_bias
+        m_prev = m_scr[h]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+        l_scr[h] = l_scr[h] * jnp.exp(m_prev - m_new) + jnp.sum(
+            jnp.exp(scores - m_new[:, None]), axis=-1
+        )
+        m_scr[h] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _emit() -> None:
+        for h in range(num_heads):
+            lse_ref[0, h, 0, :] = m_scr[h] + jnp.log(l_scr[h])
+
+
+def _bwd_dq_kernel_blockwise(
+    q_ref: jax.Array,  # [1, 1, BQ, d]
+    k_ref: jax.Array,  # [1, 1, BK, d]
+    v_ref: jax.Array,  # [1, 1, BK, d]
+    do_ref: jax.Array,  # [1, 1, BQ, d]
+    mask_ref: jax.Array,  # [1, 1, BK] int32
+    rel_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM
+    lse_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+    delta_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+    dq_ref: jax.Array,  # [1, 1, BQ, d] — revisited across ki
+    db_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM — revisited across the grid
+    bias_scr: jax.Array,  # [BQ, BK] fp32
+    dq_scr: jax.Array,  # [BQ, d] fp32
+    *,
+    num_buckets: int,
+    max_distance: int,
+) -> None:
+    block_q = q_ref.shape[2]
+    block_kv = k_ref.shape[2]
+    h, qi, bi, ki = (
+        pl.program_id(0), pl.program_id(1), pl.program_id(2), pl.program_id(3)
+    )
+    nk = pl.num_programs(3)
+
+    @pl.when(
+        jnp.logical_and(
+            jnp.logical_and(qi == 0, bi == 0), ki == 0
+        )
+    )
+    def _init_dbias() -> None:
+        for b in range(num_buckets):
+            db_ref[h, 0, b] = 0.0
+
+    @pl.when(ki == 0)
+    def _init_dq() -> None:
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    is_near, far_bucket = _block_far_bias(
+        bias_scr, lambda b: rel_ref[h, 0, b], qi * block_q, ki * block_kv,
+        num_buckets, max_distance, False,
+    )
+
+    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+    qh, kh, vh, doh = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+
+    scores = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores += bias_scr[...] + mask_bias
+
+    # Exact probabilities from the recomputed LSE — no running max needed,
+    # so dS (and the d_bias reduction) is final per block.
+    p = jnp.exp(scores - lse_ref[0, 0, 0, :][:, None])  # [BQ, BK]
+    dp = jax.lax.dot_general(
+        doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0, 0, 0, :][:, None])  # fp32 [BQ, BK]
+
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # d_bias: near blocks reduce through the bucket map (the select chain
+    # runs only on the ~3 near-diagonal blocks per q-block — O(N) total);
+    # far blocks collapse to one scalar sum into the saturated bucket.
+    @pl.when(is_near)
+    def _db_near() -> None:
+        bucket = _bucket_map(
+            qi * block_q, block_q, block_kv, num_buckets, max_distance,
+            col_start=ki * block_kv,
+        )
+        for b in range(num_buckets):
+            db_ref[h, 0, b] += jnp.sum(jnp.where(bucket == b, ds, 0.0))
+
+    @pl.when(jnp.logical_not(is_near))
+    def _db_far() -> None:
+        total = jnp.sum(ds)
+        for b in (num_buckets - 1, num_buckets // 2 - 1):
+            db_ref[h, 0, b] += jnp.where(far_bucket == b, total, 0.0)
+
+    @pl.when(ki == nk - 1)
+    def _emit() -> None:
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_blockwise(
+    k_ref: jax.Array,  # [1, 1, BK, d]
+    v_ref: jax.Array,  # [1, 1, BK, d]
+    q_ref: jax.Array,  # [1, 1, BQ, d]
+    do_ref: jax.Array,  # [1, 1, BQ, d]
+    mask_ref: jax.Array,  # [1, 1, BK] int32 — kv-side mask for this block
+    rel_ref: jax.Array,  # [H, 1, nb] fp32 in SMEM
+    lse_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+    delta_ref: jax.Array,  # [1, 1, 1, BQ] fp32
+    dk_ref: jax.Array,  # [1, 1, BK, d] — revisited across qi
+    dv_ref: jax.Array,  # [1, 1, BK, d]
+    bias_scr: jax.Array,  # [BK, BQ] fp32
+    dk_scr: jax.Array,  # [BK, d] fp32
+    dv_scr: jax.Array,  # [BK, d] fp32
+    *,
+    num_buckets: int,
+    max_distance: int,
+) -> None:
+    block_kv = k_ref.shape[2]
+    block_q = q_ref.shape[2]
+    h, ki, qi = pl.program_id(0), pl.program_id(1), pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init() -> None:
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    _block_far_bias(
+        bias_scr, lambda b: rel_ref[h, 0, b], ki * block_kv, qi * block_q,
+        num_buckets, max_distance, True,
+    )
+
+    row_bias = jnp.transpose(
+        jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
+    )  # [BK, 1]
+    kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
+
+    scores_t = jax.lax.dot_general(
+        kh, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, BQ]
+    scores_t += bias_scr[...] + row_bias
+
+    p_t = jnp.exp(scores_t - lse_ref[0, 0, 0, :][None, :])  # exact
+    dp_t = jax.lax.dot_general(
+        vh, doh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_t = p_t * (dp_t - delta_ref[0, 0, 0, :][None, :])
+
+    dv_scr[...] += jax.lax.dot_general(
+        p_t.astype(doh.dtype), doh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_scr[...] += jax.lax.dot_general(
+        ds_t.astype(qh.dtype), qh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _emit() -> None:
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _blockwise_backward_impl(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+    rel_bias: jax.Array,
+    out: jax.Array,
+    g: jax.Array,
+    num_heads: int,
+    num_buckets: int,
+    max_distance: int,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """KV-blocked backward: O(N) VMEM like the blockwise forward, so
+    gradients flow at any HBM-bounded length. Three sweeps: LSE recompute
+    (one QK^T pass on the flat layout), then dq/d_bias and dk/dv in the
+    head-grid layout with per-block accumulator scratches."""
+    b, l, inner = q.shape
+    nb = num_buckets
+    h = num_heads
+    d = inner // h
+    block_q = _largest_divisor_block(l, block_q)
+    block_kv = _largest_divisor_block(l, block_kv)
+    rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
+
+    lse = pl.pallas_call(
+        functools.partial(
+            _bwd_lse_kernel_blockwise,
+            num_heads=h, num_buckets=nb, max_distance=max_distance,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32),
+        grid=(l // block_q, b, l // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, inner), lambda qi, bi, ki: (bi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, inner), lambda qi, bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv), lambda qi, bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 1, nb), lambda qi, bi, ki: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, 1, block_q), lambda qi, bi, ki: (bi, 0, 0, qi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, block_kv), jnp.float32),
+            pltpu.VMEM((h, block_q), jnp.float32),
+            pltpu.VMEM((h, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * l * l * d,
+            bytes_accessed=(q.size + k.size) * 2,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(q, k, mask3, rel_hb)
+
+    def to_heads(x):  # [B, L, H*d] -> [B, H, L, d]
+        return x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+
+    def to_flat(x):  # [B, H, L, d] -> [B, L, H*d]
+        return x.transpose(0, 2, 1, 3).reshape(b, l, inner)
+
+    qh, kh, vh, gh = to_heads(q), to_heads(k), to_heads(v), to_heads(g)
+    delta = jnp.einsum(
+        "blhd,blhd->bhl",
+        g.reshape(b, l, h, d).astype(jnp.float32),
+        out.reshape(b, l, h, d).astype(jnp.float32),
+    )[:, :, None, :]  # [B, H, 1, L] fp32
+
+    flops = 5 * 2 * b * h * l * l * d + 60 * b * h * l * l
+
+    dqh, db = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel_blockwise,
+            num_buckets=nb, max_distance=max_distance,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+            jax.ShapeDtypeStruct((h, 1, nb), jnp.float32),
+        ),
+        grid=(h, l // block_q, b, l // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, qi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, qi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv), lambda hi, qi, bi, ki: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, qi, bi, ki: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, qi, bi, ki: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, block_kv), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * 3 // 5,
+            bytes_accessed=q.size * 10,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, gh, mask3, rel_hb, lse, delta)
+
+    dkh, dvh = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel_blockwise,
+            num_buckets=nb, max_distance=max_distance,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, l, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, l, d), v.dtype),
+        ),
+        grid=(h, l // block_kv, b, l // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, ki, bi, qi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, ki, bi, qi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, ki, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda hi, ki, bi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv), lambda hi, ki, bi, qi: (bi, 0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, ki, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda hi, ki, bi, qi: (bi, hi, 0, qi), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, ki, bi, qi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_kv, d), lambda hi, ki, bi, qi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, block_q), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * 2 // 5,
+            bytes_accessed=q.size * 10,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(kh, vh, qh, gh, mask3, rel_hb, lse, delta)
+
+    d_rel = db[:, 0, :].T.astype(rel_bias.dtype)  # [nb, H]
+    return to_flat(dqh), to_flat(dkh), to_flat(dvh), d_rel
+
+
 def _backward_impl(
     q: jax.Array,
     k: jax.Array,
@@ -782,6 +1203,7 @@ def _backward_impl(
     causal: bool = False,
     block_q: int = 1024,
     force_block_q: bool = False,
+    block_kv: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Backward pass in the head-grid layout.
 
@@ -793,6 +1215,14 @@ def _backward_impl(
     relayouts outside the kernels (~100 MB of HBM traffic per layer at
     L=2304, ~0.15 ms — noise next to the [L, L, d] matmuls).
     """
+    # Long context: mirror the forward's dispatch — the full-row kernels
+    # below keep the whole KV row per cell and stop fitting VMEM past ~4k.
+    if not causal and (block_kv or q.shape[1] > 4096):
+        return _blockwise_backward_impl(
+            q, k, v, mask, rel_bias, out, g, num_heads, num_buckets,
+            max_distance, 512 if block_q > 512 else block_q,
+            block_kv or 512, interpret,
+        )
     b, l, inner = q.shape
     nb = num_buckets
     h = num_heads
@@ -970,7 +1400,7 @@ def _flash_bwd(
     q, k, v, mask, rel_bias, out = res
     dq, dk, dv, d_rel = _backward_impl(
         q, k, v, mask, rel_bias, out, g, num_heads, num_buckets, max_distance,
-        interpret, causal, block_q, force_block_q,
+        interpret, causal, block_q, force_block_q, block_kv,
     )
     if jnp.issubdtype(mask.dtype, jnp.floating):
         dmask = jnp.zeros_like(mask)
@@ -1012,10 +1442,11 @@ def encoder_flash_attention(
     (custom VJP with Pallas backward kernels) — usable in training.
 
     ``block_kv`` > 0 (or any L > 4096) selects the KV-blocked online-softmax
-    kernel: O(N) VMEM, so single-chip context length is bounded by HBM —
-    the survey's blockwise long-context design (SURVEY.md §5). Forward
-    only: the backward kernels keep the full-KV-row design, which holds to
-    L≈4k — at reference training lengths (<= 2304) gradients are unaffected.
+    kernels: O(N) VMEM, so single-chip context length is bounded by HBM —
+    the survey's blockwise long-context design (SURVEY.md §5). The backward
+    mirrors it (LSE-recompute sweep + blockwise dq/d_bias and dk/dv), so
+    training works at the same lengths; reference shapes (<= 2304) keep the
+    measured full-row kernels.
     """
     return _flash_attention(
         q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,

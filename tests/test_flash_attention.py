@@ -208,9 +208,10 @@ def test_blockwise_kernel_vs_reference_math():
 
 
 def test_blockwise_kernel_ragged_mask_and_grad():
-    """Blockwise forward with a ragged per-row mask; gradients still flow
-    (the VJP's backward keeps the full-row kernels, independent of the
-    forward's KV blocking)."""
+    """Blockwise forward + BLOCKWISE backward (block_kv routes both): with
+    BK=128 and max_distance=128 at L=384, q-block 0 × kv-block 2 is a far
+    block, so dq/dk/dv AND the d_bias far-bucket scalar reduction are all
+    exercised against autodiff of the einsum reference."""
     from reprover_tpu.ops.flash_attention import encoder_flash_attention
 
     B, H, L, d = 2, 4, 384, 8
