@@ -206,15 +206,21 @@ def main():
     if _ARGS.block_kv:
         variants.insert(1, f"production_bk{_ARGS.block_kv}")
     for variant in variants:
-        fn = build(variant)
-        out = fn(q, k, v, mask, rel)
-        np.asarray(jax.device_get(out[:1, :1, :1]))
-        best = float("inf")
-        for _ in range(_ARGS.reps):
-            t0 = time.perf_counter()
+        try:
+            fn = build(variant)
             out = fn(q, k, v, mask, rel)
             np.asarray(jax.device_get(out[:1, :1, :1]))
-            best = min(best, (time.perf_counter() - t0) * 1e3)
+            best = float("inf")
+            for _ in range(_ARGS.reps):
+                t0 = time.perf_counter()
+                out = fn(q, k, v, mask, rel)
+                np.asarray(jax.device_get(out[:1, :1, :1]))
+                best = min(best, (time.perf_counter() - t0) * 1e3)
+        except Exception as e:  # one OOMing variant must not kill the sweep
+            print(json.dumps({"variant": variant,
+                              "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+                  flush=True)
+            continue
         per_layer = best / _ARGS.layers
         print(json.dumps({"variant": variant,
                           "ms_12layers": round(best, 2),
