@@ -229,8 +229,12 @@ def main() -> None:
     # ---- reorder-append gather at both engines' cache geometries --- #
     from reprover_tpu.ops.beam_reorder import reorder_append_gather
 
-    for ld, hh, tag in ((8, 8, "causal"), (4, 6, "t5")):
-        cache = sds((ld, 8, 64, hh, 128, 64), bf)
+    # T = 129 for the causal family: serving allocates decode 128 + 1 for
+    # the start token (service_load.py) — exactly the geometry whose
+    # scoped-VMEM OOM (17.12M > 16M) crashed serving before the
+    # layer-split fix; keep probing it, not a rounded-down 128.
+    for ld, hh, T, tag in ((8, 8, 129, "causal"), (4, 6, 128, "t5")):
+        cache = sds((ld, 8, 64, hh, T, 64), bf)
         col = sds((ld, 8, 64, hh, 1, 64), bf)
         check(
             f"reorder_gather_{tag}", reorder_append_gather,
@@ -272,7 +276,7 @@ def main() -> None:
             causal_lm.init_params(jax.random.PRNGKey(0), ccfg),
         )
     )
-    cstate = jax.eval_shape(lambda: init_causal_engine_state(ccfg, 8, 64, 512, 128))
+    cstate = jax.eval_shape(lambda: init_causal_engine_state(ccfg, 8, 64, 512, 129))
     check(
         "causal_engine_step",
         lambda p, s: causal_engine_step(p, ccfg, s, 0.0, gather_reorder=True),
