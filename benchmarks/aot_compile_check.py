@@ -191,6 +191,32 @@ def main() -> None:
         sds((2, 8192), jnp.int32), sds((32, H), jnp.float32),
     )
 
+    # Scaled causal kernel (LLaMA-family fine-tuning path,
+    # cfg.flash_attention) at the benched causal geometry, fwd + bwd.
+    from reprover_tpu.ops.flash_attention import scaled_causal_flash_attention
+
+    def scaled_grad(q, k, v, mask):
+        f = lambda q, k, v: jnp.sum(
+            scaled_causal_flash_attention(
+                q, k, v, mask, num_heads=16, scale=0.125
+            ).astype(jnp.float32)
+            ** 2
+        )
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    x = sds((8, 2048, 16 * 64), bf)
+    check(
+        "scaled_causal_fwd_finetune",
+        functools.partial(
+            scaled_causal_flash_attention, num_heads=16, scale=0.125
+        ),
+        x, x, x, sds((8, 2048), jnp.int32),
+    )
+    check(
+        "scaled_causal_bwd_finetune", scaled_grad, x, x, x,
+        sds((8, 2048), jnp.int32),
+    )
+
     def caus_grad(q, k, v, rel):
         f = lambda q, k, v, rel: jnp.sum(
             causal_flash_attention(q, k, v, rel, num_heads=H).astype(

@@ -46,6 +46,11 @@ class CausalLMConfig:
     eos_token_id: int = 2
     pad_token_id: int = 0
     compute_dtype: Any = jnp.float32
+    # Fused Pallas causal attention for the teacher-forced (fine-tuning)
+    # path — removes the [B, H, T, T] score + causal-bias materializations
+    # (`ops/flash_attention.scaled_causal_flash_attention`). Engine/decode
+    # paths are per-token and unaffected.
+    flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -138,6 +143,23 @@ def _repeat_kv(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     return jnp.repeat(x, groups, axis=1)
 
 
+def _rope_bthd(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """:func:`_rope` for the [B, T, H, d] layout (flash path: heads stay
+    lane slices of the flat projection, so no [B, H, T, d] transpose)."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )  # [d/2]
+    angles = positions[:, :, None].astype(jnp.float32) * inv_freq  # [B, T, d/2]
+    cos = jnp.concatenate([jnp.cos(angles), jnp.cos(angles)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(angles), jnp.sin(angles)], axis=-1)
+    cos = cos[:, :, None, :]  # [B, T, 1, d]
+    sin = sin[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos + rotated * sin).astype(x.dtype)
+
+
 def _attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -195,11 +217,59 @@ def forward_logits(
     positions = jnp.maximum(positions, 0)
 
     h = params["embedding"].astype(dtype)[input_ids]
+    scale = cfg.head_dim ** -0.5
+    groups = cfg.num_heads // cfg.num_kv_heads
+    use_flash = cfg.flash_attention and t % 128 == 0
+    if use_flash:
+        from reprover_tpu.ops.flash_attention import (
+            scaled_causal_flash_attention,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        hh, dh = cfg.num_heads, cfg.head_dim
+
+        def layer(h, lp):
+            n = _rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+            # RoPE in [B, T, H, d] (reshape only — heads remain lane
+            # slices of the flat projection the kernel consumes).
+            q = _rope_bthd(
+                _dense(n, lp["q"], dtype).reshape(b, t, hh, dh),
+                positions, cfg.rope_theta,
+            ).reshape(b, t, hh * dh)
+            k = _rope_bthd(
+                _dense(n, lp["k"], dtype).reshape(b, t, cfg.num_kv_heads, dh),
+                positions, cfg.rope_theta,
+            )
+            v = _dense(n, lp["v"], dtype).reshape(b, t, cfg.num_kv_heads, dh)
+            k = jnp.repeat(k, groups, axis=2).reshape(b, t, hh * dh)
+            v = jnp.repeat(v, groups, axis=2).reshape(b, t, hh * dh)
+            attn = scaled_causal_flash_attention(
+                q, k, v, attention_mask, num_heads=hh, scale=scale,
+                interpret=interpret,
+            )
+            h = h + _dense(attn, lp["o"], dtype)
+            n = _rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+            gate = jax.nn.silu(
+                _dense(n, lp["gate"], dtype).astype(jnp.float32)
+            ).astype(dtype)
+            h = h + _dense(gate * _dense(n, lp["up"], dtype), lp["down"], dtype)
+            return h, None
+
+        h, _ = jax.lax.scan(layer, h, params["layers"])
+        h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+        w = (
+            params["embedding"].T
+            if cfg.tie_word_embeddings
+            else params["lm_head"]
+        )
+        return jnp.dot(
+            h.astype(dtype), w.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+
     causal = (jnp.arange(t)[None, :] <= jnp.arange(t)[:, None])[None, None]
     key_ok = attention_mask[:, None, None, :].astype(bool)
     bias = jnp.where(causal & key_ok, 0.0, NEG_INF).astype(jnp.float32)
-    scale = cfg.head_dim ** -0.5
-    groups = cfg.num_heads // cfg.num_kv_heads
 
     def layer(h, lp):
         n = _rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)

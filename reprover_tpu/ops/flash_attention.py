@@ -1495,6 +1495,39 @@ def causal_flash_attention(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "scale", "block_q", "interpret"),
+)
+def scaled_causal_flash_attention(
+    q: jnp.ndarray,  # [B, T, H*d] — raw projection layout (RoPE pre-applied)
+    k: jnp.ndarray,  # [B, T, H*d] — GQA heads pre-repeated to H
+    v: jnp.ndarray,  # [B, T, H*d]
+    key_mask: jnp.ndarray,  # [B, T] int {0,1} — padding mask over keys
+    num_heads: int,
+    scale: float,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal self-attention with 1/sqrt(d) scaling and a key padding mask,
+    no positional bias — the RoPE-family (LLaMA) teacher-forced form:
+    rotation is elementwise and applied to q/k upstream, so the kernel
+    need not know about it. Replaces the naive path's [B, H, T, T] score
+    and causal-bias materializations in `models/causal_lm.forward_logits`.
+
+    Reuses the T5 causal kernels with a zero bias table (the hoisted
+    select chain over zeros is built once per q-block — noise); the scale
+    folds into q exactly (softmax((q*s)k^T) == softmax((q k^T)*s), and at
+    d=64 s=1/8 is a pure exponent shift in bf16). Differentiable: the
+    custom-VJP backward handles causal + key-mask together.
+    """
+    zeros = jnp.zeros((32, num_heads), jnp.float32)
+    return _flash_attention(
+        (q.astype(jnp.float32) * scale).astype(q.dtype), k, v, key_mask,
+        zeros, num_heads, 32, 128, block_q, interpret, True, False, 0,
+    )
+
+
 # ------------------------------------------------------------------ #
 # Cross-attention kernels (encoder-decoder, no positional bias)
 # ------------------------------------------------------------------ #

@@ -179,6 +179,52 @@ def test_is_causal_lm_checkpoint(hf_ckpt, tmp_path):
     assert not is_causal_lm_checkpoint(str(tmp_path / "missing"))
 
 
+def test_flash_causal_training_parity(ours):
+    """cfg.flash_attention routes the teacher-forced forward through the
+    Pallas causal kernel (zero bias table, scale folded into q, key mask +
+    causal handled in-kernel): logits and loss gradients must match the
+    naive [B, H, T, T] path, with right-padding, at T % 128 == 0."""
+    import dataclasses as dc
+
+    from reprover_tpu.models.causal_lm import causal_lm_loss
+
+    params, cfg = ours
+    cfg_flash = dc.replace(cfg, flash_attention=True)
+    rng = np.random.default_rng(7)
+    B, T = 2, 128
+    ids = rng.integers(3, cfg.vocab_size, (B, T))
+    mask = np.ones((B, T), np.int32)
+    mask[1, 100:] = 0
+    ids[1, 100:] = cfg.pad_token_id
+    ids, mask = jnp.asarray(ids, jnp.int32), jnp.asarray(mask)
+
+    naive = forward_logits(params, cfg, ids, mask)
+    flash = forward_logits(params, cfg_flash, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(flash[0]), np.asarray(naive[0]), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(flash[1, :100]), np.asarray(naive[1, :100]),
+        atol=2e-4, rtol=2e-4,
+    )
+
+    labels = jnp.where(mask == 1, ids, -100)
+
+    g_naive = jax.grad(
+        lambda p: causal_lm_loss(p, cfg, ids, mask, labels)
+    )(params)
+    g_flash = jax.grad(
+        lambda p: causal_lm_loss(p, cfg_flash, ids, mask, labels)
+    )(params)
+    flat_n, _ = jax.tree_util.tree_flatten_with_path(g_naive)
+    flat_f = jax.tree_util.tree_leaves(g_flash)
+    for (path, gn), gf in zip(flat_n, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-4, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_causal_training_loss_decreases(ours):
     """In-framework decoder-only fine-tuning: loss drops, TP+DP mesh works."""
     import optax
