@@ -8,16 +8,24 @@ __all__ = [
     "masked_topk",
     "cosine_topk",
     "encoder_flash_attention",
+    "causal_flash_attention",
+    "cross_flash_attention",
+    "scaled_causal_flash_attention",
     "ring_encoder_attention",
 ]
 
 
 def __getattr__(name: str) -> object:
     # Lazy: the attention kernels import pallas / shard_map machinery.
-    if name == "encoder_flash_attention":
-        from reprover_tpu.ops.flash_attention import encoder_flash_attention
+    if name in (
+        "encoder_flash_attention",
+        "causal_flash_attention",
+        "cross_flash_attention",
+        "scaled_causal_flash_attention",
+    ):
+        from reprover_tpu.ops import flash_attention
 
-        return encoder_flash_attention
+        return getattr(flash_attention, name)
     if name == "ring_encoder_attention":
         from reprover_tpu.ops.ring_attention import ring_encoder_attention
 
