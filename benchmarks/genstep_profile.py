@@ -91,7 +91,11 @@ def main() -> None:
         "tactic_ids": jnp.asarray(labels),
     }
 
-    res: dict = {"policy": _ARGS.policy, "batch": B}
+    res: dict = {
+        "policy": _ARGS.policy,
+        "batch": B,
+        "flash_block_q": _ARGS.flash_block_q,
+    }
 
     # fwd-only loss
     fwd = jax.jit(lambda p, b: generation_loss(p, cfg, b))
