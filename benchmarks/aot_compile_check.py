@@ -217,6 +217,21 @@ def main() -> None:
         sds((8, 2048), jnp.int32),
     )
 
+    # Long-context fine-tuning: T > 4096 auto-routes to the causal
+    # blockwise kernels (all-future blocks skipped, O(N) VMEM).
+    x = sds((2, 8192, 16 * 64), bf)
+    check(
+        "scaled_causal_fwd_blockwise_8192",
+        functools.partial(
+            scaled_causal_flash_attention, num_heads=16, scale=0.125
+        ),
+        x, x, x, sds((2, 8192), jnp.int32),
+    )
+    check(
+        "scaled_causal_bwd_blockwise_8192", scaled_grad, x, x, x,
+        sds((2, 8192), jnp.int32),
+    )
+
     def caus_grad(q, k, v, rel):
         f = lambda q, k, v, rel: jnp.sum(
             causal_flash_attention(q, k, v, rel, num_heads=H).astype(

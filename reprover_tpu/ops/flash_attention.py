@@ -119,6 +119,7 @@ def _causal_invalid(
     block_rows: int,
     num_cols: int,
     transposed: bool = False,
+    col_start: jnp.ndarray | int = 0,
 ) -> jnp.ndarray:
     """Bool tile marking causally-invalid cells (key position > query).
 
@@ -128,7 +129,9 @@ def _causal_invalid(
     rows = row_start + jax.lax.broadcasted_iota(
         jnp.int32, (block_rows, num_cols), 0
     )
-    cols = jax.lax.broadcasted_iota(jnp.int32, (block_rows, num_cols), 1)
+    cols = col_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, num_cols), 1
+    )
     return (rows > cols) if transposed else (cols > rows)
 
 
@@ -254,7 +257,6 @@ def _encoder_attn_kernel_blockwise(
     mask_ref: jax.Array,  # [1, 1, BK] int32
     rel_ref: jax.Array,  # [H, 1, num_buckets] fp32
     out_ref: jax.Array,  # [1, BQ, H*d] — revisited across ki, written at last
-    bucket_scr: jax.Array,  # [BQ, BK] int32 scratch
     bias_scr: jax.Array,  # [BQ, BK] fp32 scratch (reused per head)
     m_scr: jax.Array,  # [H, BQ] fp32 — running row max
     l_scr: jax.Array,  # [H, BQ] fp32 — running row sum
@@ -263,6 +265,7 @@ def _encoder_attn_kernel_blockwise(
     num_heads: int,
     num_buckets: int,
     max_distance: int,
+    causal: bool,
 ) -> None:
     """KV-blocked bidirectional T5 self-attention with online softmax.
 
@@ -285,6 +288,10 @@ def _encoder_attn_kernel_blockwise(
     ``exp(m_prev - m_new)`` rescale zeroes the garbage l/acc exactly —
     same guarantee as the full-row kernel (each row needs >= 1 valid key,
     which the tokenizer invariant provides).
+
+    ``causal=True``: all-future KV blocks are skipped outright (no matmul,
+    no softmax — ~half the compute cells at long T), diagonal blocks fold
+    the NEG_INF causal term into the bias tile, buckets go unidirectional.
     """
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
@@ -294,67 +301,51 @@ def _encoder_attn_kernel_blockwise(
     q_start = qi * block_q
     k_start = ki * block_kv
 
-    right_far = k_start - (q_start + block_q - 1) >= max_distance
-    left_far = q_start - (k_start + block_kv - 1) >= max_distance
-    is_near = jnp.logical_not(jnp.logical_or(right_far, left_far))
-    half = num_buckets // 2
-
     @pl.when(ki == 0)
     def _init() -> None:
         m_scr[...] = jnp.full(m_scr.shape, -1e30, jnp.float32)
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    # Head-independent bucket map, built once per near cell.
-    @pl.when(is_near)
-    def _bucket() -> None:
-        bucket_scr[...] = _bucket_map(
-            q_start, block_q, block_kv, num_buckets, max_distance,
-            col_start=k_start,
-        )
+    live = (
+        k_start < q_start + block_q
+        if causal
+        else jnp.full((), True, jnp.bool_)
+    )
 
-    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+    @pl.when(live)
+    def _compute() -> None:
+        mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
 
-    for h in range(num_heads):
-        rel_vec = rel_ref[h, 0]  # [num_buckets]
-
-        @pl.when(is_near)
-        def _near_bias(rel_vec: jax.Array = rel_vec) -> None:
-            bias_scr[...] = _bias_tile(
-                bucket_scr[...], lambda b: rel_vec[b], num_buckets
+        for h in range(num_heads):
+            rel_vec = rel_ref[h, 0]  # [num_buckets]
+            _block_far_bias(
+                bias_scr, lambda b: rel_vec[b], q_start, k_start,
+                num_buckets, max_distance, False, causal,
             )
 
-        @pl.when(jnp.logical_not(is_near))
-        def _far_bias(rel_vec: jax.Array = rel_vec) -> None:
-            const = jnp.where(
-                k_start > q_start, rel_vec[num_buckets - 1], rel_vec[half - 1]
+            qh = q_ref[0, :, h * d : (h + 1) * d]
+            kh = k_ref[0, :, h * d : (h + 1) * d]
+            vh = v_ref[0, :, h * d : (h + 1) * d]
+
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK] fp32 (T5: unscaled)
+            scores += bias_scr[...] + mask_bias
+
+            m_prev = m_scr[h]  # [BQ]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+            p = jnp.exp(scores - m_new[:, None])  # [BQ, BK]
+            alpha = jnp.exp(m_prev - m_new)  # [BQ]
+            l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1)
+            m_scr[h] = m_new
+            pv = jnp.dot(
+                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+            )  # [BQ, d]
+            acc_scr[:, h * d : (h + 1) * d] = (
+                acc_scr[:, h * d : (h + 1) * d] * alpha[:, None] + pv
             )
-            bias_scr[...] = jnp.full(
-                (block_q, block_kv), 0.0, jnp.float32
-            ) + const
-
-        qh = q_ref[0, :, h * d : (h + 1) * d]
-        kh = k_ref[0, :, h * d : (h + 1) * d]
-        vh = v_ref[0, :, h * d : (h + 1) * d]
-
-        scores = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK] fp32 (T5: unscaled)
-        scores += bias_scr[...] + mask_bias
-
-        m_prev = m_scr[h]  # [BQ]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
-        p = jnp.exp(scores - m_new[:, None])  # [BQ, BK]
-        alpha = jnp.exp(m_prev - m_new)  # [BQ]
-        l_scr[h] = l_scr[h] * alpha + jnp.sum(p, axis=-1)
-        m_scr[h] = m_new
-        pv = jnp.dot(
-            p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
-        )  # [BQ, d]
-        acc_scr[:, h * d : (h + 1) * d] = (
-            acc_scr[:, h * d : (h + 1) * d] * alpha[:, None] + pv
-        )
 
     @pl.when(ki == nk - 1)
     def _emit() -> None:
@@ -376,6 +367,7 @@ def _blockwise_forward_impl(
     block_q: int,
     block_kv: int,
     interpret: bool,
+    causal: bool = False,
 ) -> jax.Array:
     b, l, inner = q.shape
     # Working set is O(BQ·BK), independent of L — a fixed 512/512 block
@@ -386,12 +378,15 @@ def _blockwise_forward_impl(
     mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
     d = inner // num_heads
     flops = 2 * 2 * b * num_heads * l * l * d + 40 * b * num_heads * l * l
+    if causal:
+        flops //= 2
 
     kernel = functools.partial(
         _encoder_attn_kernel_blockwise,
         num_heads=num_heads,
         num_buckets=num_buckets,
         max_distance=max_distance,
+        causal=causal,
     )
     # ki fastest (the online-softmax scratches carry across it), batch
     # middle, q-block major: the q block stays resident across the whole
@@ -433,7 +428,6 @@ def _blockwise_forward_impl(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, block_kv), jnp.int32),
             pltpu.VMEM((block_q, block_kv), jnp.float32),
             pltpu.VMEM((num_heads, block_q), jnp.float32),
             pltpu.VMEM((num_heads, block_q), jnp.float32),
@@ -507,11 +501,11 @@ def _forward_impl(
     # KV-blocked path: explicit ``block_kv``, or automatically once the
     # full-row design's VMEM working set (full K/V per cell + [BQ, L]
     # score tiles + the [H, BQ, L] bias scratch) stops fitting — ~L > 4k.
-    # Bidirectional only: the decoder's causal form runs at T <= 512.
-    if not causal and (block_kv or l > 4096):
+    if block_kv or l > 4096:
         return _blockwise_forward_impl(
             q, k, v, mask, rel_bias, num_heads, num_buckets, max_distance,
             512 if block_q > 512 else block_q, block_kv or 512, interpret,
+            causal,
         )
     # Query blocking bounds VMEM. The kernel keeps ~4 fp32 [BQ, L] tiles
     # live (scores, bucket map, bias, exp); budget them to ~8 MB so the
@@ -780,6 +774,7 @@ def _block_far_bias(
     num_buckets: int,
     max_distance: int,
     transposed: bool,
+    causal: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fill ``bias_scr`` for one (q-block, kv-block) pair of the blockwise
     kernels: near-diagonal blocks run the bucket-map select chain, far
@@ -791,6 +786,10 @@ def _block_far_bias(
     Orientation: ``transposed=False`` → rows are queries at ``row_start``,
     cols are keys at ``col_start``; ``transposed=True`` → rows are keys at
     ``row_start``, cols are queries at ``col_start``.
+
+    ``causal=True``: unidirectional buckets, the NEG_INF causal term folds
+    into near tiles, and the only reachable far side is the past (callers
+    skip all-future blocks entirely), whose saturated bucket is nb - 1.
     """
     rows, cols = bias_scr.shape
     if transposed:
@@ -800,21 +799,40 @@ def _block_far_bias(
     right_far = k0 - (q0 + qn - 1) >= max_distance
     left_far = q0 - (k0 + kn - 1) >= max_distance
     is_near = jnp.logical_not(jnp.logical_or(right_far, left_far))
-    far_bucket = jnp.where(k0 > q0, num_buckets - 1, num_buckets // 2 - 1)
+    if causal:
+        far_bucket = jnp.full((), num_buckets - 1, jnp.int32)
+    else:
+        far_bucket = jnp.where(k0 > q0, num_buckets - 1, num_buckets // 2 - 1)
 
     @pl.when(is_near)
     def _near() -> None:
         bucket = _bucket_map(
             row_start, rows, cols, num_buckets, max_distance,
             transposed=transposed, col_start=col_start,
+            bidirectional=not causal,
         )
-        bias_scr[...] = _bias_tile(bucket, get_rel, num_buckets)
+        t = _bias_tile(bucket, get_rel, num_buckets)
+        if causal:
+            t = t + jnp.where(
+                _causal_invalid(
+                    row_start, rows, cols, transposed=transposed,
+                    col_start=col_start,
+                ),
+                NEG_INF,
+                0.0,
+            )
+        bias_scr[...] = t
 
     @pl.when(jnp.logical_not(is_near))
     def _far() -> None:
-        const = jnp.where(
-            k0 > q0, get_rel(num_buckets - 1), get_rel(num_buckets // 2 - 1)
-        )
+        if causal:
+            const = get_rel(num_buckets - 1)
+        else:
+            const = jnp.where(
+                k0 > q0,
+                get_rel(num_buckets - 1),
+                get_rel(num_buckets // 2 - 1),
+            )
         bias_scr[...] = jnp.zeros((rows, cols), jnp.float32) + const
 
     return is_near, far_bucket
@@ -833,6 +851,7 @@ def _bwd_lse_kernel_blockwise(
     num_heads: int,
     num_buckets: int,
     max_distance: int,
+    causal: bool,
 ) -> None:
     """Online recompute of the forward row log-sum-exp, KV-blocked.
 
@@ -845,33 +864,43 @@ def _bwd_lse_kernel_blockwise(
     d = k_ref.shape[2] // num_heads
     qi, ki = pl.program_id(0), pl.program_id(2)
     nk = pl.num_programs(2)
+    q_start = qi * block_q
+    k_start = ki * block_kv
 
     @pl.when(ki == 0)
     def _init() -> None:
         m_scr[...] = jnp.full(m_scr.shape, -1e30, jnp.float32)
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
 
-    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+    live = (
+        k_start < q_start + block_q
+        if causal
+        else jnp.full((), True, jnp.bool_)
+    )
 
-    for h in range(num_heads):
-        rel_vec = rel_ref[h, 0]
-        _block_far_bias(
-            bias_scr, lambda b: rel_vec[b], qi * block_q, ki * block_kv,
-            num_buckets, max_distance, False,
-        )
-        qh = q_ref[0, :, h * d : (h + 1) * d]
-        kh = k_ref[0, :, h * d : (h + 1) * d]
-        scores = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        scores += bias_scr[...] + mask_bias
-        m_prev = m_scr[h]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
-        l_scr[h] = l_scr[h] * jnp.exp(m_prev - m_new) + jnp.sum(
-            jnp.exp(scores - m_new[:, None]), axis=-1
-        )
-        m_scr[h] = m_new
+    @pl.when(live)
+    def _compute() -> None:
+        mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+
+        for h in range(num_heads):
+            rel_vec = rel_ref[h, 0]
+            _block_far_bias(
+                bias_scr, lambda b: rel_vec[b], q_start, k_start,
+                num_buckets, max_distance, False, causal,
+            )
+            qh = q_ref[0, :, h * d : (h + 1) * d]
+            kh = k_ref[0, :, h * d : (h + 1) * d]
+            scores = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores += bias_scr[...] + mask_bias
+            m_prev = m_scr[h]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+            l_scr[h] = l_scr[h] * jnp.exp(m_prev - m_new) + jnp.sum(
+                jnp.exp(scores - m_new[:, None]), axis=-1
+            )
+            m_scr[h] = m_new
 
     @pl.when(ki == nk - 1)
     def _emit() -> None:
@@ -895,6 +924,7 @@ def _bwd_dq_kernel_blockwise(
     *,
     num_buckets: int,
     max_distance: int,
+    causal: bool,
 ) -> None:
     block_q = q_ref.shape[2]
     block_kv = k_ref.shape[2]
@@ -902,6 +932,8 @@ def _bwd_dq_kernel_blockwise(
         pl.program_id(0), pl.program_id(1), pl.program_id(2), pl.program_id(3)
     )
     nk = pl.num_programs(3)
+    q_start = qi * block_q
+    k_start = ki * block_kv
 
     @pl.when(
         jnp.logical_and(
@@ -916,49 +948,60 @@ def _bwd_dq_kernel_blockwise(
     def _init_dq() -> None:
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
-    is_near, far_bucket = _block_far_bias(
-        bias_scr, lambda b: rel_ref[h, 0, b], qi * block_q, ki * block_kv,
-        num_buckets, max_distance, False,
+    live = (
+        k_start < q_start + block_q
+        if causal
+        else jnp.full((), True, jnp.bool_)
     )
 
-    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
-    qh, kh, vh, doh = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
-
-    scores = jax.lax.dot_general(
-        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    scores += bias_scr[...] + mask_bias
-
-    # Exact probabilities from the recomputed LSE — no running max needed,
-    # so dS (and the d_bias reduction) is final per block.
-    p = jnp.exp(scores - lse_ref[0, 0, 0, :][:, None])  # [BQ, BK]
-    dp = jax.lax.dot_general(
-        doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta_ref[0, 0, 0, :][:, None])  # fp32 [BQ, BK]
-
-    dq_scr[...] += jax.lax.dot_general(
-        ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    # d_bias: near blocks reduce through the bucket map (the select chain
-    # runs only on the ~3 near-diagonal blocks per q-block — O(N) total);
-    # far blocks collapse to one scalar sum into the saturated bucket.
-    @pl.when(is_near)
-    def _db_near() -> None:
-        bucket = _bucket_map(
-            qi * block_q, block_q, block_kv, num_buckets, max_distance,
-            col_start=ki * block_kv,
+    @pl.when(live)
+    def _compute() -> None:
+        is_near, far_bucket = _block_far_bias(
+            bias_scr, lambda b: rel_ref[h, 0, b], q_start, k_start,
+            num_buckets, max_distance, False, causal,
         )
-        for b in range(num_buckets):
-            db_ref[h, 0, b] += jnp.sum(jnp.where(bucket == b, ds, 0.0))
 
-    @pl.when(jnp.logical_not(is_near))
-    def _db_far() -> None:
-        total = jnp.sum(ds)
-        for b in (num_buckets - 1, num_buckets // 2 - 1):
-            db_ref[h, 0, b] += jnp.where(far_bucket == b, total, 0.0)
+        mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, BK]
+        qh, kh, vh, doh = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores += bias_scr[...] + mask_bias
+
+        # Exact probabilities from the recomputed LSE — no running max
+        # needed, so dS (and the d_bias reduction) is final per block.
+        p = jnp.exp(scores - lse_ref[0, 0, 0, :][:, None])  # [BQ, BK]
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0, 0, :][:, None])  # fp32 [BQ, BK]
+
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # d_bias: near blocks reduce through the bucket map (the select
+        # chain runs only on the ~3 near-diagonal blocks per q-block —
+        # O(N) total); far blocks collapse to one scalar sum into the
+        # saturated bucket.
+        @pl.when(is_near)
+        def _db_near() -> None:
+            bucket = _bucket_map(
+                q_start, block_q, block_kv, num_buckets, max_distance,
+                col_start=k_start, bidirectional=not causal,
+            )
+            for b in range(num_buckets):
+                db_ref[h, 0, b] += jnp.sum(jnp.where(bucket == b, ds, 0.0))
+
+        @pl.when(jnp.logical_not(is_near))
+        def _db_far() -> None:
+            total = jnp.sum(ds)
+            for b in (num_buckets - 1, num_buckets // 2 - 1):
+                db_ref[h, 0, b] += jnp.where(far_bucket == b, total, 0.0)
 
     @pl.when(ki == nk - 1)
     def _emit() -> None:
@@ -982,46 +1025,61 @@ def _bwd_dkv_kernel_blockwise(
     *,
     num_buckets: int,
     max_distance: int,
+    causal: bool,
 ) -> None:
     block_kv = k_ref.shape[2]
     block_q = q_ref.shape[2]
     h, ki, qi = pl.program_id(0), pl.program_id(1), pl.program_id(3)
     nq = pl.num_programs(3)
+    k_start = ki * block_kv
+    q_start = qi * block_q
 
     @pl.when(qi == 0)
     def _init() -> None:
         dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
         dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
 
-    _block_far_bias(
-        bias_scr, lambda b: rel_ref[h, 0, b], ki * block_kv, qi * block_q,
-        num_buckets, max_distance, True,
+    # Causal: keys only see queries at or after their position — skip
+    # q-blocks entirely before this kv-block.
+    live = (
+        k_start < q_start + block_q
+        if causal
+        else jnp.full((), True, jnp.bool_)
     )
 
-    row_bias = jnp.transpose(
-        jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
-    )  # [BK, 1]
-    kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
+    @pl.when(live)
+    def _compute() -> None:
+        _block_far_bias(
+            bias_scr, lambda b: rel_ref[h, 0, b], k_start, q_start,
+            num_buckets, max_distance, True, causal,
+        )
 
-    scores_t = jax.lax.dot_general(
-        kh, qh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BK, BQ]
-    scores_t += bias_scr[...] + row_bias
+        row_bias = jnp.transpose(
+            jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
+        )  # [BK, 1]
+        kh, vh, qh, doh = k_ref[0, 0], v_ref[0, 0], q_ref[0, 0], do_ref[0, 0]
 
-    p_t = jnp.exp(scores_t - lse_ref[0, 0, 0, :][None, :])  # exact
-    dp_t = jax.lax.dot_general(
-        vh, doh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds_t = p_t * (dp_t - delta_ref[0, 0, 0, :][None, :])
+        scores_t = jax.lax.dot_general(
+            kh, qh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, BQ]
+        scores_t += bias_scr[...] + row_bias
 
-    dv_scr[...] += jax.lax.dot_general(
-        p_t.astype(doh.dtype), doh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk_scr[...] += jax.lax.dot_general(
-        ds_t.astype(qh.dtype), qh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        p_t = jnp.exp(scores_t - lse_ref[0, 0, 0, :][None, :])  # exact
+        dp_t = jax.lax.dot_general(
+            vh, doh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds_t = p_t * (dp_t - delta_ref[0, 0, 0, :][None, :])
+
+        dv_scr[...] += jax.lax.dot_general(
+            p_t.astype(doh.dtype), doh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_scr[...] += jax.lax.dot_general(
+            ds_t.astype(qh.dtype), qh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(qi == nq - 1)
     def _emit() -> None:
@@ -1043,6 +1101,7 @@ def _blockwise_backward_impl(
     block_q: int,
     block_kv: int,
     interpret: bool,
+    causal: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """KV-blocked backward: O(N) VMEM like the blockwise forward, so
     gradients flow at any HBM-bounded length. Three sweeps: LSE recompute
@@ -1061,6 +1120,7 @@ def _blockwise_backward_impl(
         functools.partial(
             _bwd_lse_kernel_blockwise,
             num_heads=h, num_buckets=nb, max_distance=max_distance,
+            causal=causal,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32),
         grid=(l // block_q, b, l // block_kv),
@@ -1108,7 +1168,7 @@ def _blockwise_backward_impl(
     dqh, db = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel_blockwise,
-            num_buckets=nb, max_distance=max_distance,
+            num_buckets=nb, max_distance=max_distance, causal=causal,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
@@ -1147,7 +1207,7 @@ def _blockwise_backward_impl(
     dkh, dvh = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel_blockwise,
-            num_buckets=nb, max_distance=max_distance,
+            num_buckets=nb, max_distance=max_distance, causal=causal,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, l, d), k.dtype),
@@ -1217,11 +1277,11 @@ def _backward_impl(
     """
     # Long context: mirror the forward's dispatch — the full-row kernels
     # below keep the whole KV row per cell and stop fitting VMEM past ~4k.
-    if not causal and (block_kv or q.shape[1] > 4096):
+    if block_kv or q.shape[1] > 4096:
         return _blockwise_backward_impl(
             q, k, v, mask, rel_bias, out, g, num_heads, num_buckets,
             max_distance, 512 if block_q > 512 else block_q,
-            block_kv or 512, interpret,
+            block_kv or 512, interpret, causal,
         )
     b, l, inner = q.shape
     nb = num_buckets
@@ -1462,6 +1522,7 @@ def encoder_flash_attention(
         "max_distance",
         "block_q",
         "interpret",
+        "block_kv",
     ),
 )
 def causal_flash_attention(
@@ -1474,6 +1535,7 @@ def causal_flash_attention(
     max_distance: int = 128,
     block_q: int = 512,
     interpret: bool = False,
+    block_kv: int = 0,
 ) -> jnp.ndarray:
     """Fused causal T5 decoder self-attention -> [B, T, H*d].
 
@@ -1491,13 +1553,13 @@ def causal_flash_attention(
     ones = jnp.ones((q.shape[0], q.shape[1]), jnp.int32)
     return _flash_attention(
         q, k, v, ones, rel_bias, num_heads, num_buckets, max_distance,
-        block_q, interpret, True, False, 0,
+        block_q, interpret, True, False, block_kv,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "scale", "block_q", "interpret"),
+    static_argnames=("num_heads", "scale", "block_q", "interpret", "block_kv"),
 )
 def scaled_causal_flash_attention(
     q: jnp.ndarray,  # [B, T, H*d] — raw projection layout (RoPE pre-applied)
@@ -1508,6 +1570,7 @@ def scaled_causal_flash_attention(
     scale: float,
     block_q: int = 512,
     interpret: bool = False,
+    block_kv: int = 0,
 ) -> jnp.ndarray:
     """Causal self-attention with 1/sqrt(d) scaling and a key padding mask,
     no positional bias — the RoPE-family (LLaMA) teacher-forced form:
@@ -1524,7 +1587,7 @@ def scaled_causal_flash_attention(
     zeros = jnp.zeros((32, num_heads), jnp.float32)
     return _flash_attention(
         (q.astype(jnp.float32) * scale).astype(q.dtype), k, v, key_mask,
-        zeros, num_heads, 32, 128, block_q, interpret, True, False, 0,
+        zeros, num_heads, 32, 128, block_q, interpret, True, False, block_kv,
     )
 
 

@@ -250,6 +250,88 @@ def test_blockwise_kernel_ragged_mask_and_grad():
         )
 
 
+def test_blockwise_causal_kernel_and_grad():
+    """Causal blockwise (block_kv routes fwd AND bwd): BK=128 at T=384
+    gives skipped all-future blocks, a diagonal block with the folded
+    causal term, and a far-past block (saturated unidirectional bucket) —
+    outputs and dq/dk/dv/drel must match autodiff of the causal einsum
+    reference."""
+    from reprover_tpu.ops.flash_attention import causal_flash_attention
+
+    B, H, T, d = 2, 4, 384, 8
+    rng = np.random.default_rng(41)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    rel = jnp.asarray(rng.normal(size=(32, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+
+    out = causal_flash_attention(
+        q, k, v, rel, num_heads=H, block_q=128, block_kv=128, interpret=True
+    )
+    ref = _causal_einsum_reference(q, k, v, rel, H, d)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+    def loss_blockwise(q, k, v, rel):
+        out = causal_flash_attention(
+            q, k, v, rel, num_heads=H, block_q=128, block_kv=128,
+            interpret=True,
+        )
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, rel):
+        return jnp.sum(_causal_einsum_reference(q, k, v, rel, H, d) * w)
+
+    g_bw = jax.grad(loss_blockwise, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, rel)
+    for name, gf, gr in zip(("dq", "dk", "dv", "drel"), g_bw, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=3e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_blockwise_scaled_causal_with_padding():
+    """The LLaMA fine-tune form through the blockwise path: scale folded
+    into q, right-padding key mask, causal — vs a plain einsum oracle."""
+    from reprover_tpu.ops.flash_attention import scaled_causal_flash_attention
+
+    B, H, T, d = 2, 4, 384, 8
+    rng = np.random.default_rng(43)
+    q = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H * d)), jnp.float32)
+    mask = jnp.ones((B, T), jnp.int32).at[1, 300:].set(0)
+    scale = d ** -0.5
+
+    out = scaled_causal_flash_attention(
+        q, k, v, mask, num_heads=H, scale=scale, block_q=128, block_kv=128,
+        interpret=True,
+    )
+
+    qh = q.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, T, H, d).transpose(0, 2, 1, 3)
+    pos = jnp.arange(T)
+    ok = (pos[None, :] <= pos[:, None])[None, None] & mask[:, None, None, :].astype(bool)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    scores = jnp.where(ok, scores, -1e10)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ref = (
+        jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, T, H * d)
+    )
+    # compare real-query rows only (padded queries see garbage either way)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[1, :300]), np.asarray(ref[1, :300]), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_model_flash_block_q_config():
     """cfg.flash_block_q forces the encoder kernel's q-block (128 at L=256
     where the heuristic picks 256) — encode output must match the naive
