@@ -267,6 +267,20 @@ def main() -> None:
     )
     check("cross_attn_bwd_train", cross_grad, q, kv, kv, sds((8, 2304), jnp.int32))
 
+    # Long-input cross: S > 4096 auto-routes to the blockwise path (the
+    # raised-input-cap generation shape: 8k encoder states, 512 decode).
+    q = sds((4, 512, H * d), bf)
+    kv = sds((4, 8192, H * d), bf)
+    check(
+        "cross_attn_fwd_blockwise_8192",
+        functools.partial(cross_flash_attention, num_heads=H),
+        q, kv, kv, sds((4, 8192), jnp.int32),
+    )
+    check(
+        "cross_attn_bwd_blockwise_8192", cross_grad, q, kv, kv,
+        sds((4, 8192), jnp.int32),
+    )
+
     # ---- reorder-append gather at both engines' cache geometries --- #
     from reprover_tpu.ops.beam_reorder import reorder_append_gather
 

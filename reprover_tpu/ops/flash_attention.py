@@ -369,15 +369,16 @@ def _blockwise_forward_impl(
     interpret: bool,
     causal: bool = False,
 ) -> jax.Array:
-    b, l, inner = q.shape
+    b, t, inner = q.shape
+    s = k.shape[1]  # rectangular: cross-attention has kv len != q len
     # Working set is O(BQ·BK), independent of L — a fixed 512/512 block
     # pair keeps every tile comfortably inside VMEM at any sequence length.
-    block_q = _largest_divisor_block(l, block_q)
-    block_kv = _largest_divisor_block(l, block_kv)
+    block_q = _largest_divisor_block(t, block_q)
+    block_kv = _largest_divisor_block(s, block_kv)
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
-    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, S]
     d = inner // num_heads
-    flops = 2 * 2 * b * num_heads * l * l * d + 40 * b * num_heads * l * l
+    flops = 2 * 2 * b * num_heads * t * s * d + 40 * b * num_heads * t * s
     if causal:
         flops //= 2
 
@@ -393,8 +394,8 @@ def _blockwise_forward_impl(
     # KV sweep; K/V blocks stream through double-buffered.
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, l, inner), q.dtype),
-        grid=(l // block_q, b, l // block_kv),
+        out_shape=jax.ShapeDtypeStruct((b, t, inner), q.dtype),
+        grid=(t // block_q, b, s // block_kv),
         in_specs=[
             pl.BlockSpec(
                 (1, block_q, inner),
@@ -439,7 +440,7 @@ def _blockwise_forward_impl(
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=q.size * 8,
-            transcendentals=b * num_heads * l * l,
+            transcendentals=b * num_heads * t * s,
         ),
         interpret=interpret,
     )(q, k, v, mask3, rel_hb)
@@ -1107,14 +1108,15 @@ def _blockwise_backward_impl(
     gradients flow at any HBM-bounded length. Three sweeps: LSE recompute
     (one QK^T pass on the flat layout), then dq/d_bias and dk/dv in the
     head-grid layout with per-block accumulator scratches."""
-    b, l, inner = q.shape
+    b, t, inner = q.shape
+    s = k.shape[1]  # rectangular: cross-attention has kv len != q len
     nb = num_buckets
     h = num_heads
     d = inner // h
-    block_q = _largest_divisor_block(l, block_q)
-    block_kv = _largest_divisor_block(l, block_kv)
+    block_q = _largest_divisor_block(t, block_q)
+    block_kv = _largest_divisor_block(s, block_kv)
     rel_hb = rel_bias.T.astype(jnp.float32)[:, None, :]  # [H, 1, nb]
-    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, L]
+    mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, S]
 
     lse = pl.pallas_call(
         functools.partial(
@@ -1122,8 +1124,8 @@ def _blockwise_backward_impl(
             num_heads=h, num_buckets=nb, max_distance=max_distance,
             causal=causal,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32),
-        grid=(l // block_q, b, l // block_kv),
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, t), jnp.float32),
+        grid=(t // block_q, b, s // block_kv),
         in_specs=[
             pl.BlockSpec((1, block_q, inner), lambda qi, bi, ki: (bi, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_kv, inner), lambda qi, bi, ki: (bi, ki, 0), memory_space=pltpu.VMEM),
@@ -1143,27 +1145,28 @@ def _blockwise_backward_impl(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * l * l * d,
+            flops=2 * b * h * t * s * d,
             bytes_accessed=(q.size + k.size) * 2,
-            transcendentals=b * h * l * l,
+            transcendentals=b * h * t * s,
         ),
         interpret=interpret,
     )(q, k, mask3, rel_hb)
 
-    def to_heads(x):  # [B, L, H*d] -> [B, H, L, d]
-        return x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+    def to_heads(x, ln):  # [B, ln, H*d] -> [B, H, ln, d]
+        return x.reshape(b, ln, h, d).transpose(0, 2, 1, 3)
 
-    def to_flat(x):  # [B, H, L, d] -> [B, L, H*d]
-        return x.transpose(0, 2, 1, 3).reshape(b, l, inner)
+    def to_flat(x, ln):  # [B, H, ln, d] -> [B, ln, H*d]
+        return x.transpose(0, 2, 1, 3).reshape(b, ln, inner)
 
-    qh, kh, vh, gh = to_heads(q), to_heads(k), to_heads(v), to_heads(g)
+    qh, gh = to_heads(q, t), to_heads(g, t)
+    kh, vh = to_heads(k, s), to_heads(v, s)
     delta = jnp.einsum(
         "blhd,blhd->bhl",
-        g.reshape(b, l, h, d).astype(jnp.float32),
-        out.reshape(b, l, h, d).astype(jnp.float32),
-    )[:, :, None, :]  # [B, H, 1, L] fp32
+        g.reshape(b, t, h, d).astype(jnp.float32),
+        out.reshape(b, t, h, d).astype(jnp.float32),
+    )[:, :, None, :]  # [B, H, 1, T] fp32
 
-    flops = 5 * 2 * b * h * l * l * d + 60 * b * h * l * l
+    flops = 5 * 2 * b * h * t * s * d + 60 * b * h * t * s
 
     dqh, db = pl.pallas_call(
         functools.partial(
@@ -1171,10 +1174,10 @@ def _blockwise_backward_impl(
             num_buckets=nb, max_distance=max_distance, causal=causal,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
             jax.ShapeDtypeStruct((h, 1, nb), jnp.float32),
         ),
-        grid=(h, l // block_q, b, l // block_kv),
+        grid=(h, t // block_q, b, s // block_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda hi, qi, bi, ki: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_kv, d), lambda hi, qi, bi, ki: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
@@ -1199,7 +1202,7 @@ def _blockwise_backward_impl(
         cost_estimate=pl.CostEstimate(
             flops=flops * 3 // 5,
             bytes_accessed=q.size * 10,
-            transcendentals=b * h * l * l,
+            transcendentals=b * h * t * s,
         ),
         interpret=interpret,
     )(qh, kh, vh, gh, mask3, rel_hb, lse, delta)
@@ -1210,10 +1213,10 @@ def _blockwise_backward_impl(
             num_buckets=nb, max_distance=max_distance, causal=causal,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, l, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, l, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
         ),
-        grid=(h, l // block_kv, b, l // block_q),
+        grid=(h, s // block_kv, b, t // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_kv, d), lambda hi, ki, bi, qi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_kv, d), lambda hi, ki, bi, qi: (bi, hi, ki, 0), memory_space=pltpu.VMEM),
@@ -1239,13 +1242,13 @@ def _blockwise_backward_impl(
         cost_estimate=pl.CostEstimate(
             flops=flops * 2 // 5,
             bytes_accessed=q.size * 10,
-            transcendentals=b * h * l * l,
+            transcendentals=b * h * t * s,
         ),
         interpret=interpret,
     )(kh, vh, qh, gh, mask3, rel_hb, lse, delta)
 
     d_rel = db[:, 0, :].T.astype(rel_bias.dtype)  # [nb, H]
-    return to_flat(dqh), to_flat(dkh), to_flat(dvh), d_rel
+    return to_flat(dqh, t), to_flat(dkh, s), to_flat(dvh, s), d_rel
 
 
 def _backward_impl(
@@ -1641,9 +1644,19 @@ def _cross_forward_impl(
     num_heads: int,
     block_q: int,
     interpret: bool,
+    block_kv: int = 0,
 ) -> jax.Array:
     b, t, inner = q.shape
     s = k.shape[1]
+    # Long context (either side): the KV-blocked kernel with a zero bias
+    # table IS cross-attention — T5 cross carries no positional bias.
+    if block_kv or s > 4096 or t > 4096:
+        zeros = jnp.zeros((32, num_heads), jnp.float32)
+        return _blockwise_forward_impl(
+            q, k, v, mask, zeros, num_heads, 32, 128,
+            512 if block_q > 512 else block_q, block_kv or 512, interpret,
+            False,
+        )
     # ~3 live fp32 [BQ, S] tiles per head iteration (scores, exp, probs).
     block_q = _pick_block(block_q, t, 12, 8 * 1024 * 1024, tile_cols=s)
     mask3 = mask.astype(jnp.int32)[:, None, :]  # [B, 1, S]
@@ -1765,11 +1778,19 @@ def _cross_backward_impl(
     g: jax.Array,
     num_heads: int,
     interpret: bool,
+    block_kv: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Cross-attention backward in the head-grid layout (cf.
     :func:`_backward_impl` — same scheme minus the position-bias grad)."""
     b, t, inner = q.shape
     s = k.shape[1]
+    if block_kv or s > 4096 or t > 4096:
+        zeros = jnp.zeros((32, num_heads), jnp.float32)
+        dq, dk, dv, _ = _blockwise_backward_impl(
+            q, k, v, mask, zeros, out, g, num_heads, 32, 128,
+            512, block_kv or 512, interpret, False,
+        )
+        return dq, dk, dv
     h = num_heads
     d = inner // h
     # ~6 live fp32 tiles per step in each kernel.
@@ -1852,7 +1873,7 @@ def _cross_backward_impl(
     return to_flat(dqh, t), to_flat(dkh, s), to_flat(dvh, s)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _cross_attention(
     q: jax.Array,
     k: jax.Array,
@@ -1861,8 +1882,11 @@ def _cross_attention(
     num_heads: int,
     block_q: int,
     interpret: bool,
+    block_kv: int,
 ) -> jax.Array:
-    return _cross_forward_impl(q, k, v, mask, num_heads, block_q, interpret)
+    return _cross_forward_impl(
+        q, k, v, mask, num_heads, block_q, interpret, block_kv
+    )
 
 
 def _cross_fwd(
@@ -1873,8 +1897,11 @@ def _cross_fwd(
     num_heads: int,
     block_q: int,
     interpret: bool,
+    block_kv: int,
 ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
-    out = _cross_forward_impl(q, k, v, mask, num_heads, block_q, interpret)
+    out = _cross_forward_impl(
+        q, k, v, mask, num_heads, block_q, interpret, block_kv
+    )
     return out, (q, k, v, mask, out)
 
 
@@ -1882,12 +1909,13 @@ def _cross_bwd(
     num_heads: int,
     block_q: int,
     interpret: bool,
+    block_kv: int,
     res: tuple[jax.Array, ...],
     g: jax.Array,
 ) -> tuple[jax.Array, ...]:
     q, k, v, mask, out = res
     dq, dk, dv = _cross_backward_impl(
-        q, k, v, mask, out, g, num_heads, interpret
+        q, k, v, mask, out, g, num_heads, interpret, block_kv
     )
     if jnp.issubdtype(mask.dtype, jnp.floating):
         dmask = jnp.zeros_like(mask)
@@ -1900,7 +1928,7 @@ _cross_attention.defvjp(_cross_fwd, _cross_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "block_q", "interpret")
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret", "block_kv")
 )
 def cross_flash_attention(
     q: jnp.ndarray,  # [B, T, H*d] — decoder-side queries, raw projection layout
@@ -1910,6 +1938,7 @@ def cross_flash_attention(
     num_heads: int,
     block_q: int = 512,
     interpret: bool = False,
+    block_kv: int = 0,
 ) -> jnp.ndarray:
     """Fused encoder-decoder cross-attention -> [B, T, H*d]. Differentiable.
 
@@ -1919,4 +1948,6 @@ def cross_flash_attention(
     is the single largest HBM round-trip in the training graph, recomputed
     again in the backward under remat.
     """
-    return _cross_attention(q, k, v, mask, num_heads, block_q, interpret)
+    return _cross_attention(
+        q, k, v, mask, num_heads, block_q, interpret, block_kv
+    )
