@@ -267,7 +267,8 @@ def _encoder_attn_kernel_blockwise(
     max_distance: int,
     causal: bool,
 ) -> None:
-    """KV-blocked bidirectional T5 self-attention with online softmax.
+    """KV-blocked T5 attention with online softmax (bidirectional, causal,
+    or — rectangular with a zero bias table — cross).
 
     The survey's blockwise design (SURVEY.md §5 long-context): O(N) VMEM —
     neither K/V nor any [BQ, L] tile is ever resident, so sequence length
