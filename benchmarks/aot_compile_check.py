@@ -70,8 +70,12 @@ def check(name: str, fn, *args) -> None:
 
     Already-jit'd callables (e.g. the train step from
     ``make_train_step``, which carries ``donate_argnums``) are lowered
-    directly so donation survives — buffer-assignment OOM checks are only
-    realistic with the real donation set."""
+    directly so donation survives — the reported buffer-assignment sizes
+    are only meaningful with the real donation set. Note the chipless
+    target REPORTS sizes (printed per check) but does not enforce the
+    16 GB HBM limit — on the real chip the compile helper rejects
+    over-budget programs at compile time; compare args+temps here against
+    16 GB to predict that."""
     if _ONLY and _ONLY not in name:
         return
     rep = _REP
@@ -80,8 +84,19 @@ def check(name: str, fn, *args) -> None:
     )
     try:
         jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
-        jitted.lower(*args).compile()
-        print(f"{name}: COMPILE OK", flush=True)
+        compiled = jitted.lower(*args).compile()
+        mem = ""
+        try:
+            ma = compiled.memory_analysis()
+            gb = 1024 ** 3
+            mem = (
+                f"  [HBM: args {ma.argument_size_in_bytes / gb:.2f} GB"
+                f" + temps {ma.temp_size_in_bytes / gb:.2f} GB"
+                f" + out {ma.output_size_in_bytes / gb:.2f} GB]"
+            )
+        except Exception:  # memory analysis is best-effort
+            pass
+        print(f"{name}: COMPILE OK{mem}", flush=True)
     except Exception as e:  # report every failure, keep checking
         FAILURES.append(name)
         print(f"{name}: FAIL {type(e).__name__}: {str(e)[:400]}", flush=True)
@@ -340,8 +355,9 @@ def main() -> None:
 
     # ---- full training-step programs (reference configs) ----------- #
     # Compiled with the real donation set, so XLA's buffer assignment
-    # checks the true HBM footprint: a config that would OOM at runtime
-    # fails HERE, offline (TPU compile-time OOM is a compile error).
+    # reports the true HBM footprint (printed per check); compare
+    # args+temps against 16 GB to predict the real chip's compile-time
+    # OOM rejection — the chipless target itself does not enforce it.
     from reprover_tpu.models.t5 import fuse_mlp_params
     from reprover_tpu.training import (
         generation_loss,
