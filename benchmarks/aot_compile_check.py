@@ -65,7 +65,7 @@ def _target():
     return NamedSharding(mesh, PartitionSpec())
 
 
-def check(name: str, fn, *args) -> None:
+def check(name: str, fn, *args, donate: tuple = ()) -> None:
     """AOT-compile ``fn`` for one v5e core; args are ShapeDtypeStructs.
 
     Already-jit'd callables (e.g. the train step from
@@ -83,7 +83,9 @@ def check(name: str, fn, *args) -> None:
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep), args
     )
     try:
-        jitted = fn if hasattr(fn, "lower") else jax.jit(fn)
+        jitted = (
+            fn if hasattr(fn, "lower") else jax.jit(fn, donate_argnums=donate)
+        )
         compiled = jitted.lower(*args).compile()
         mem = ""
         try:
@@ -330,10 +332,12 @@ def main() -> None:
     state = jax.eval_shape(
         lambda: init_engine_state(None, cfg, 8, 64, 512, 128)
     )
+    # State donated like the production engine jit — without it the
+    # footprint counts a dead input copy of every KV cache.
     check(
         "t5_engine_step",
         lambda p, s: engine_step(p, cfg, s, 0.0, gather_reorder=True),
-        params, state,
+        params, state, donate=(1,),
     )
 
     ccfg = causal_lm.CausalLMConfig(
@@ -350,7 +354,7 @@ def main() -> None:
     check(
         "causal_engine_step",
         lambda p, s: causal_engine_step(p, ccfg, s, 0.0, gather_reorder=True),
-        cparams, cstate,
+        cparams, cstate, donate=(1,),
     )
 
     # ---- full training-step programs (reference configs) ----------- #
