@@ -405,6 +405,20 @@ def main() -> None:
         tstate, gbatch,
     )
 
+    # Long-input generation training (blockwise encoder + blockwise cross
+    # engage at L=8192): the footprint report answers "can one chip train
+    # the reference recipe at 3.5x the byte cap?" offline.
+    gbatch_long = {
+        "state_ids": sds((4, 8192), jnp.int32),
+        "state_mask": sds((4, 8192), jnp.int32),
+        "tactic_ids": sds((4, T), jnp.int32),
+    }
+    check(
+        "gen_train_step_long8k",
+        make_train_step(generation_loss, tcfg, tx),
+        tstate, gbatch_long,
+    )
+
     # ---- headline embed program (bench.py hot path) ----------------- #
     from reprover_tpu.ops import masked_mean_normalize
 
