@@ -125,11 +125,13 @@ def _build(cfg: GenerationConfig) -> Tuple[Any, ...]:
         model_cfg = dataclasses.replace(
             model_cfg, remat=True, remat_policy=cfg.model.remat_policy
         )
-    if on_tpu:
+    if on_tpu and not (cfg.data_parallel and len(jax.devices()) > 1):
         # Pallas flash attention has custom-VJP backwards throughout, so
         # training uses it for the encoder AND the teacher-forced decoder
         # (causal self + cross) — the 2300-byte reference input pads to
         # 2304 and out 512 is already 128-aligned, so both are eligible.
+        # Single-device only: a pallas_call is not SPMD-partitionable,
+        # so under a mesh the naive (GSPMD-partitioned) path stays.
         model_cfg = dataclasses.replace(
             model_cfg, flash_encoder=True, flash_decoder=True
         )

@@ -137,8 +137,10 @@ def _build(cfg: RetrievalConfig) -> Tuple[Any, ...]:
         model_cfg = dataclasses.replace(
             model_cfg, remat=True, remat_policy=cfg.model.remat_policy
         )
-    if on_tpu:
-        # Pallas flash encoder with custom-VJP backward: on for training too.
+    if on_tpu and not (cfg.data_parallel and len(jax.devices()) > 1):
+        # Pallas flash encoder with custom-VJP backward: on for training
+        # too. Single-device only: a pallas_call is not SPMD-partitionable,
+        # so under a mesh the naive (GSPMD-partitioned) path stays.
         model_cfg = dataclasses.replace(model_cfg, flash_encoder=True)
     # Fused gate|up MLP layout: one wide matmul per layer (+8% measured);
     # checkpoints store this layout, HF export splits it back.

@@ -330,11 +330,16 @@ def run_fit(cfg: PretrainConfig) -> None:
             model_cfg = dataclasses.replace(model_cfg, **overrides)
     if cfg.model.remat:
         model_cfg = dataclasses.replace(model_cfg, remat=True)
-    if on_tpu and model_cfg.d_kv >= 64:
+    if (
+        on_tpu
+        and model_cfg.d_kv >= 64
+        and not (cfg.data_parallel and len(jax.devices()) > 1)
+    ):
         # max_inp/max_oup default to 1024/256, both 128-aligned -> flash
         # kernels (fwd+bwd) are eligible exactly as in the fine-tune stage.
         # (Small-geometry overrides keep the naive path: the Pallas tiles
-        # assume byt5-class head dims.)
+        # assume byt5-class head dims.) Single-device only: a pallas_call
+        # is not SPMD-partitionable under a mesh.
         model_cfg = dataclasses.replace(
             model_cfg, flash_encoder=True, flash_decoder=True
         )
