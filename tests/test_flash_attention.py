@@ -181,6 +181,19 @@ def test_kernel_forced_block_q():
     )
 
 
+def test_largest_divisor_block():
+    """Blockwise block sizing: largest 128-multiple <= target dividing L;
+    L itself when none (tiny interpret shapes)."""
+    from reprover_tpu.ops.flash_attention import _largest_divisor_block
+
+    assert _largest_divisor_block(2304, 512) == 384  # 512 ∤ 2304
+    assert _largest_divisor_block(8192, 512) == 512
+    assert _largest_divisor_block(1024, 1024) == 1024
+    assert _largest_divisor_block(384, 512) == 384
+    assert _largest_divisor_block(640, 512) == 128  # 256/384/512 all ∤ 640
+    assert _largest_divisor_block(64, 512) == 64  # < 128: fall back to L
+
+
 def test_blockwise_kernel_vs_reference_math():
     """KV-blocked online-softmax kernel (block_kv > 0): exact parity with
     the einsum reference at a length with near AND far KV blocks
