@@ -86,7 +86,7 @@ def make_data():
 def run_cell(
     model, val, num_workers, max_batch, window_ms, num_theorems=24,
     streaming=False, num_slots=8, chunk_size=8, step_buckets=None,
-    mesh=None,
+    mesh=None, quantize=False,
 ):
     from reprover_tpu.prover import (
         FixedTacticGenerator,
@@ -99,7 +99,7 @@ def run_cell(
     if streaming:
         service = StreamingInferenceService(
             model, num_slots=num_slots, num_beams=64, chunk_size=chunk_size,
-            step_buckets=step_buckets, mesh=mesh,
+            step_buckets=step_buckets, mesh=mesh, quantize=quantize,
         )
     else:
         service = InferenceService(
@@ -134,6 +134,7 @@ def run_cell(
     log(
         mode="streaming" if streaming else "coalescing",
         tp=mesh.devices.size if mesh is not None else 0,
+        quantize=quantize,
         buckets=step_buckets if streaming else None,
         slots=num_slots if streaming else None,
         chunk=chunk_size if streaming else None,
@@ -245,6 +246,10 @@ def main():
             num_slots=num_slots, chunk_size=chunk,
             step_buckets=buckets if "--buckets" in sys.argv else None,
             mesh=mesh,
+            # --quantize: weight-only int8 engine weights (near-lossless;
+            # a 2x weight-memory option at byt5 scale, a bandwidth win for
+            # weight-bound models).
+            quantize="--quantize" in sys.argv,
         )
 
 

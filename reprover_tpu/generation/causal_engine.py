@@ -45,6 +45,7 @@ from reprover_tpu.models.causal_lm import (
     CausalLMConfig,
     Params,
     _dense,
+    _lm_logits,
     _merge,
     _rms_norm,
     _rope,
@@ -244,15 +245,7 @@ def _causal_decode_step(
         # the T5 engine step); decoder-only layer counts stay modest
     )
     hh = _rms_norm(hh, params["final_norm"], cfg.rms_norm_eps)
-    w = (
-        params["embedding"].T
-        if cfg.tie_word_embeddings
-        else params["lm_head"]
-    )
-    logits = jnp.dot(
-        hh[:, 0, :].astype(dt), w.astype(dt),
-        preferred_element_type=jnp.float32,
-    )  # [S*K, V] fp32
+    logits = _lm_logits(params, cfg, hh[:, 0, :])  # [S*K, V] fp32
     return logits.reshape(S, K, -1), k_news, v_news
 
 
@@ -310,8 +303,21 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         chunk_size: int = 8,
         mesh: Any = None,
         step_buckets: Any = None,
+        quantize: bool = False,
     ) -> None:
         self.cfg = cfg
+        if quantize:
+            # Weight-only int8: near-lossless beams, half the weight HBM
+            # stream — a 7B-class decoder (13.5 GB bf16) serves from ONE
+            # 16 GB chip. Large matmuls route through the Pallas w8a16
+            # kernel (reprover_tpu.ops.quant_matmul).
+            assert mesh is None, (
+                "quantize + tensor-parallel not supported: the partition-"
+                "spec builder walks raw weight leaves; shard OR quantize"
+            )
+            from reprover_tpu.models.quantize import quantize_causal_params
+
+            params = quantize_causal_params(params)
         if mesh is not None:
             # Tensor-parallel serving over the mesh's `model` axis — the
             # decoder-only family is where >1-chip models are realistic

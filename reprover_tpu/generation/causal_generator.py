@@ -50,7 +50,15 @@ class CausalTacticGeneratorModel:
         length_penalty: float = 0.0,
         template: str = GOAL_TEMPLATE,
         bucket_multiple: int = 128,
+        quantize: bool = False,
     ) -> None:
+        if quantize:
+            # Weight-only int8 serving: half the weight HBM stream, near-
+            # lossless beams (role of vLLM's quantization options for the
+            # decoder-only family, `/root/reference/prover/proof_search.py:332-366`).
+            from reprover_tpu.models.quantize import quantize_causal_params
+
+            params = quantize_causal_params(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -162,7 +170,7 @@ class CausalTacticGeneratorModel:
 
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
-        mesh: Any = None, step_buckets: Any = None,
+        mesh: Any = None, step_buckets: Any = None, quantize: bool = False,
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 
@@ -185,6 +193,7 @@ class CausalTacticGeneratorModel:
             chunk_size=chunk_size,
             mesh=mesh,
             step_buckets=step_buckets,
+            quantize=quantize,
         )
 
     def tokenize_for_engine(

@@ -935,8 +935,20 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         chunk_size: int = 8,
         mesh: Optional[jax.sharding.Mesh] = None,
         step_buckets: Optional[Sequence[int]] = None,
+        quantize: bool = False,
     ) -> None:
         self.cfg = cfg
+        if quantize:
+            # Weight-only int8 serving (near-lossless beams; halves the
+            # weight HBM stream — a memory option at byt5 scale, a
+            # bandwidth win for models whose weights bound the step).
+            assert mesh is None, (
+                "quantize + tensor-parallel not supported: the partition-"
+                "spec builder walks raw weight leaves; shard OR quantize"
+            )
+            from reprover_tpu.models.quantize import quantize_t5_params
+
+            params = quantize_t5_params(params)
         if mesh is not None:
             # Tensor-parallel serving: Megatron column/row splits over the
             # mesh's `model` axis (the vLLM `tensor_parallel_size` role,

@@ -174,7 +174,7 @@ class TacticGeneratorModel:
 
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
-        mesh: Any = None, step_buckets: Any = None,
+        mesh: Any = None, step_buckets: Any = None, quantize: bool = False,
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 
@@ -198,6 +198,7 @@ class TacticGeneratorModel:
             chunk_size=chunk_size,
             mesh=mesh,
             step_buckets=step_buckets,
+            quantize=quantize,
         )
 
     def tokenize_for_engine(

@@ -108,10 +108,31 @@ def _rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (y * w.astype(jnp.float32)).astype(dtype)
 
 
-def _dense(x: jnp.ndarray, w: jnp.ndarray, dtype: jnp.dtype) -> jnp.ndarray:
+def _dense(x: jnp.ndarray, w: Any, dtype: jnp.dtype) -> jnp.ndarray:
+    from reprover_tpu.models.quantize import QuantWeight, quantized_dense
+
+    if isinstance(w, QuantWeight):  # weight-only int8 serving path
+        return quantized_dense(x, w, dtype)
     return jnp.dot(
         x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
     ).astype(dtype)
+
+
+def _lm_logits(params: Params, cfg: CausalLMConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """Final vocab projection -> fp32 logits ([..., D] -> [..., V]);
+    consumes either a raw weight or an int8 :class:`QuantWeight` lm_head
+    (the 4096x32000 projection is the largest single weight stream in a
+    7B-class decode step — the w8a16 kernel halves its HBM read)."""
+    from reprover_tpu.models.quantize import QuantWeight, quantized_logits
+
+    w = params["embedding"].T if cfg.tie_word_embeddings else params["lm_head"]
+    if isinstance(w, QuantWeight):
+        return quantized_logits(h, w, cfg.compute_dtype)
+    return jnp.dot(
+        h.astype(cfg.compute_dtype),
+        w.astype(cfg.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
@@ -257,15 +278,7 @@ def forward_logits(
 
         h, _ = jax.lax.scan(layer, h, params["layers"])
         h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-        w = (
-            params["embedding"].T
-            if cfg.tie_word_embeddings
-            else params["lm_head"]
-        )
-        return jnp.dot(
-            h.astype(dtype), w.astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
+        return _lm_logits(params, cfg, h)
 
     causal = (jnp.arange(t)[None, :] <= jnp.arange(t)[:, None])[None, None]
     key_ok = attention_mask[:, None, None, :].astype(bool)
@@ -287,14 +300,7 @@ def forward_logits(
 
     h, _ = jax.lax.scan(layer, h, params["layers"])
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    w = (
-        params["embedding"].T
-        if cfg.tie_word_embeddings
-        else params["lm_head"]
-    )
-    return jnp.dot(
-        h.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
-    )
+    return _lm_logits(params, cfg, h)
 
 
 # ------------------------------------------------------------------ #
@@ -364,10 +370,7 @@ def prefill(
 
     h, (ks, vs) = jax.lax.scan(layer, h, params["layers"])
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    w = params["embedding"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jnp.dot(
-        h[:, -1, :].astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
-    )
+    logits = _lm_logits(params, cfg, h[:, -1, :])
 
     key_mask = jnp.pad(attention_mask, ((0, 0), (0, max_decode_len)))
     state = CausalDecodeState(
@@ -425,10 +428,7 @@ def decode_step(
 
     h, (ks, vs) = jax.lax.scan(layer, h, (params["layers"], state.k, state.v))
     h = _rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    w = params["embedding"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = jnp.dot(
-        h[:, 0, :].astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32
-    )
+    logits = _lm_logits(params, cfg, h[:, 0, :])
     new_state = CausalDecodeState(
         k=ks,
         v=vs,

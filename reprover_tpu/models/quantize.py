@@ -59,19 +59,71 @@ def quantize_weight(w: jnp.ndarray) -> QuantWeight:
     return QuantWeight(q=q, scale=scale)
 
 
+# Kernel-routing thresholds (see :func:`quantized_dense`). byt5-small's
+# largest weight is d_model*d_ff = 1472*3584 = 5.3 MB — below the cutoff,
+# so byt5 serving keeps the XLA path its v5e measurement validated; a
+# LLaMA-7B projection (4096*11008 = 45 MB) or lm_head (4096*32000 = 131 MB)
+# routes through the kernel, where the int8 HBM read is the win.
+_KERNEL_MIN_WEIGHT_BYTES = 16 * 2 ** 20
+# The kernel holds all of x in VMEM (plus a double-buffered int8 weight
+# tile): 32 MB leaves ample headroom in v5e's 128 MB VMEM and admits the
+# big-engine decode activation (512 rows x 11008 cols bf16 = 11.3 MB).
+_KERNEL_MAX_X_BYTES = 32 * 2 ** 20
+
+#: Trace-time override for the kernel routing: ``None`` routes TPU-backend
+#: traces only (the measured default); ``True``/``False`` force it — used
+#: by the chipless AOT compile check (traces on the CPU backend FOR a TPU
+#: target) and by ablation benchmarks.
+FORCE_KERNEL: "bool | None" = None
+
+
+def _use_kernel(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> bool:
+    if w.q.ndim != 2:
+        return False  # stacked-layer weights are consumed via lax.scan slices
+    k, n = w.q.shape
+    m = 1
+    for s in x.shape[:-1]:
+        m *= int(s)
+    if not (
+        k * n >= _KERNEL_MIN_WEIGHT_BYTES
+        and m * k * jnp.dtype(dtype).itemsize <= _KERNEL_MAX_X_BYTES
+    ):
+        return False
+    if FORCE_KERNEL is not None:
+        return FORCE_KERNEL
+    return jax.default_backend() == "tpu"
+
+
 def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.ndarray:
     """y = (x @ int8) * scale, fp32 accumulation.
 
-    On TPU, 2-D weights route through the Pallas w8a16 kernel
-    (:mod:`reprover_tpu.ops.quant_matmul`) so HBM reads stay int8 — the
-    XLA fallback materializes a converted copy and loses the bandwidth win.
+    Two lowerings, chosen at trace time from static shapes:
+
+    - **XLA** (default): ``x @ wq.astype(dtype)``. XLA materializes the
+      converted weight, so HBM traffic is int8 + a bf16 copy. Measured on
+      v5e at byt5-small shapes this ties bf16 decode latency — per-token
+      matmuls there are too small for bandwidth to dominate — so at small
+      scale int8 is purely a 2x weight-memory option.
+    - **Pallas w8a16** (:mod:`reprover_tpu.ops.quant_matmul`) for large 2-D
+      weights with a small activation footprint (the 7B-class serving
+      regime, where the weight stream bounds the step): the int8 tile is
+      DMA'd from HBM, converted in VMEM, and fed to the MXU — HBM sees
+      half the weight bytes.
     """
-    # Measured on v5e at byt5-small shapes: neither the XLA int8 path nor
-    # the Pallas w8a16 kernel (reprover_tpu.ops.quant_matmul) beats bf16
-    # decode latency — per-token matmuls are too small for the bandwidth
-    # saving to outweigh dispatch/fusion loss. int8 therefore serves as a
-    # 2x weight-memory option here; route through quant_matmul explicitly
-    # for models whose weight streams actually bound the step.
+    if _use_kernel(x, w, dtype):
+        from reprover_tpu.ops.quant_matmul import quant_matmul
+
+        lead = x.shape[:-1]
+        m = 1
+        for s in lead:
+            m *= int(s)
+        y = quant_matmul(
+            x.reshape(m, x.shape[-1]).astype(dtype),
+            w.q,
+            w.scale.reshape(-1),
+            out_dtype=dtype,
+        )
+        return y.reshape(*lead, y.shape[-1])
     y = jnp.dot(
         x.astype(dtype),
         w.q.astype(dtype),
@@ -80,20 +132,64 @@ def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.nda
     return (y * w.scale[..., 0, :].astype(jnp.float32)).astype(dtype)
 
 
+def quantized_logits(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.ndarray:
+    """Vocab projection variant of :func:`quantized_dense`: returns **fp32**
+    logits (softmax islands stay full precision) instead of casting back to
+    the compute dtype. Same kernel-routing rule."""
+    if _use_kernel(x, w, dtype):
+        from reprover_tpu.ops.quant_matmul import quant_matmul
+
+        lead = x.shape[:-1]
+        m = 1
+        for s in lead:
+            m *= int(s)
+        y = quant_matmul(
+            x.reshape(m, x.shape[-1]).astype(dtype),
+            w.q,
+            w.scale.reshape(-1),
+            out_dtype=jnp.float32,
+        )
+        return y.reshape(*lead, y.shape[-1])
+    y = jnp.dot(
+        x.astype(dtype), w.q.astype(dtype), preferred_element_type=jnp.float32
+    )
+    return y * w.scale[..., 0, :].astype(jnp.float32)
+
+
 _T5_MATMUL_KEYS = frozenset(
     {"q", "k", "v", "o", "wi_0", "wi_1", "wi", "wo", "lm_head"}
 )
+
+_CAUSAL_MATMUL_KEYS = frozenset(
+    {"q", "k", "v", "o", "gate", "up", "down", "lm_head"}
+)
+
+
+def _quantize_tree(params: Any, keys: frozenset) -> Any:
+    def rec(node, key=None):
+        if isinstance(node, dict):
+            return {k: rec(v, k) for k, v in node.items()}
+        if isinstance(node, QuantWeight):  # idempotent
+            return node
+        if key in keys and hasattr(node, "ndim") and node.ndim >= 2:
+            return quantize_weight(node)
+        return node
+
+    return rec(params)
 
 
 def quantize_t5_params(params: Any) -> Any:
     """Quantize every T5 matmul weight (attention/MLP/lm_head); norms,
     embeddings, and relative-position biases stay in full precision."""
+    return _quantize_tree(params, _T5_MATMUL_KEYS)
 
-    def rec(node, key=None):
-        if isinstance(node, dict):
-            return {k: rec(v, k) for k, v in node.items()}
-        if key in _T5_MATMUL_KEYS and hasattr(node, "ndim") and node.ndim >= 2:
-            return quantize_weight(node)
-        return node
 
-    return rec(params)
+def quantize_causal_params(params: Any) -> Any:
+    """Quantize every LLaMA-family matmul weight (attention q/k/v/o,
+    SwiGLU gate/up/down, lm_head); the token embedding, RMSNorm scales,
+    and — under ``tie_word_embeddings`` — the tied output projection stay
+    in full precision. int8 weights halve the serving footprint: a
+    7B-class decoder (13.5 GB bf16) fits a single 16 GB v5e chip with room
+    for the engine's KV caches (role of vLLM's quantization options,
+    `/root/reference/prover/proof_search.py:332-366`)."""
+    return _quantize_tree(params, _CAUSAL_MATMUL_KEYS)

@@ -242,8 +242,12 @@ class StreamingInferenceService(InferenceService):
         pipeline_depth: int = 4,
         mesh: Any = None,
         step_buckets: Any = None,
+        quantize: bool = False,
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
+        # Weight-only int8 engine weights (near-lossless; halves the decode
+        # weight stream — lets a 7B-class decoder serve from one 16 GB chip).
+        self.quantize = quantize
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.chunk_size = chunk_size
@@ -288,6 +292,7 @@ class StreamingInferenceService(InferenceService):
         self._engine = self.generator.make_stepwise_engine(
             self.num_slots, self.num_beams, chunk_size=self.chunk_size,
             mesh=self.mesh, step_buckets=self.step_buckets,
+            quantize=self.quantize,
         )
 
     def _admit_wave(self, slots: List[int], states: List[str]) -> None:

@@ -108,3 +108,167 @@ def test_pallas_quant_matmul_interpret():
             quant_matmul(x, qw.q, qw.scale.reshape(-1), interpret=True)
         )
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------------------ #
+# Decoder-only (LLaMA-family) int8 + engine serving paths
+# ------------------------------------------------------------------ #
+
+from reprover_tpu.models.causal_lm import CausalLMConfig
+from reprover_tpu.models.causal_lm import init_params as init_causal_params
+from reprover_tpu.models.quantize import quantize_causal_params
+
+CAUSAL_TINY = CausalLMConfig(
+    vocab_size=64,
+    d_model=32,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,  # exercise GQA
+    d_ff=64,
+)
+
+
+def test_quantize_causal_tree_targets_matmuls_only_and_idempotent():
+    params = init_causal_params(jax.random.PRNGKey(3), CAUSAL_TINY)
+    qparams = quantize_causal_params(params)
+    layers = qparams["layers"]
+    for key in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert isinstance(layers[key], QuantWeight), key
+    assert isinstance(qparams["lm_head"], QuantWeight)
+    assert not isinstance(qparams["embedding"], QuantWeight)
+    assert not isinstance(layers["input_norm"], QuantWeight)
+    # re-quantizing an already-quantized tree is a no-op (the generator
+    # and the engine may each be asked to quantize)
+    q2 = quantize_causal_params(qparams)
+    assert q2["lm_head"] is qparams["lm_head"]
+
+
+def test_quantized_causal_forward_close():
+    from reprover_tpu.models.causal_lm import forward_logits
+
+    params = init_causal_params(jax.random.PRNGKey(4), CAUSAL_TINY)
+    qparams = quantize_causal_params(params)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(3, CAUSAL_TINY.vocab_size, (2, 12)), jnp.int32)
+    mask = jnp.ones((2, 12), jnp.int32)
+    full = np.asarray(forward_logits(params, CAUSAL_TINY, ids, mask))
+    quant = np.asarray(forward_logits(qparams, CAUSAL_TINY, ids, mask))
+    assert np.abs(full - quant).max() / full.std() < 0.2
+
+
+def test_quantized_causal_engine_matches_quantized_classic():
+    """int8 engine serving == int8 classic generate (lazy-append continuous
+    batching must not change the quantized model's beams either)."""
+    from reprover_tpu.generation.causal_generator import (
+        CausalTacticGeneratorModel,
+    )
+
+    class IdsTokenizer:
+        def __call__(self, text, add_special_tokens=True):
+            return {"input_ids": [int(t) for t in text.split()]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    params = init_causal_params(jax.random.PRNGKey(7), CAUSAL_TINY)
+    model = CausalTacticGeneratorModel(
+        params, CAUSAL_TINY, IdsTokenizer(), max_inp_seq_len=16,
+        max_oup_seq_len=8, template="%s", bucket_multiple=4, quantize=True,
+    )
+    assert isinstance(model.params["lm_head"], QuantWeight)
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(str(int(t)) for t in rng.integers(3, CAUSAL_TINY.vocab_size, n))
+        for n in (5, 9)
+    ]
+    classic = {t: model.generate([t], num_samples=4)[0] for t in texts}
+
+    # engine quantizes internally from the RAW params — quantization is
+    # deterministic, so its weights match the classic model's exactly
+    engine = CausalTacticGeneratorModel(
+        params, CAUSAL_TINY, IdsTokenizer(), max_inp_seq_len=16,
+        max_oup_seq_len=8, template="%s", bucket_multiple=4,
+    ).make_stepwise_engine(num_slots=2, num_beams=4, chunk_size=3, quantize=True)
+    ids, mask = model.tokenize_for_engine(texts)
+    engine.admit_batch_tokens([0, 1], ids, mask)
+    got = {}
+    for _ in range(32):
+        if not engine.has_active():
+            break
+        engine.run_chunk()
+        for slot in engine.finished_slots():
+            seqs, scores, lens = engine.finalize(slot)
+            got[slot] = model.decode_candidates(seqs, scores, lens)
+    for slot, text in ((0, texts[0]), (1, texts[1])):
+        want = classic[text]
+        assert [t for t, _ in got[slot]] == [t for t, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got[slot]], [s for _, s in want],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_quantized_t5_engine_matches_quantized_classic():
+    from reprover_tpu.generation.generator import TacticGeneratorModel
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    classic_model = TacticGeneratorModel(
+        quantize_t5_params(params), TINY, max_inp_seq_len=64,
+        max_oup_seq_len=8, bucket_multiple=32,
+    )
+    texts = ["⊢ 2 = 2", "n : ℕ ⊢ n + 0 = n"]
+    classic = {t: classic_model.generate([t], num_samples=4)[0] for t in texts}
+
+    raw_model = TacticGeneratorModel(
+        params, TINY, max_inp_seq_len=64, max_oup_seq_len=8, bucket_multiple=32
+    )
+    engine = raw_model.make_stepwise_engine(
+        num_slots=2, num_beams=4, chunk_size=3, quantize=True
+    )
+    ids, mask = raw_model.tokenize_for_engine(texts)
+    engine.admit_batch_tokens([0, 1], ids, mask)
+    got = {}
+    for _ in range(32):
+        if not engine.has_active():
+            break
+        engine.run_chunk()
+        for slot in engine.finished_slots():
+            seqs, scores, lens = engine.finalize(slot)
+            got[slot] = raw_model.decode_candidates(seqs, scores, lens)
+    for slot, text in ((0, texts[0]), (1, texts[1])):
+        want = classic[text]
+        assert [t for t, _ in got[slot]] == [t for t, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got[slot]], [s for _, s in want],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_kernel_routing_thresholds():
+    """Big 2-D weights route to the Pallas kernel (when forced / on TPU);
+    byt5-scale weights, stacked-layer slices, and VMEM-oversized
+    activations never do."""
+    from reprover_tpu.models import quantize as qz
+
+    def uk(m, k, n, force):
+        x = jax.ShapeDtypeStruct((m, k), jnp.bfloat16)
+        w = QuantWeight(
+            q=jax.ShapeDtypeStruct((k, n), jnp.int8),
+            scale=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        )
+        old = qz.FORCE_KERNEL
+        qz.FORCE_KERNEL = force
+        try:
+            return qz._use_kernel(x, w, jnp.bfloat16)
+        finally:
+            qz.FORCE_KERNEL = old
+
+    # LLaMA-7B down-projection and lm_head: routed when forced on
+    assert uk(512, 11008, 4096, True)
+    assert uk(512, 4096, 32000, True)
+    # same shapes, CPU backend + no force: XLA path
+    assert not uk(512, 11008, 4096, None)
+    # byt5-small's largest (d_model x d_ff): below the measured win line
+    assert not uk(512, 1472, 3584, True)
+    # activation too large for the kernel's whole-x VMEM residency
+    assert not uk(4096 * 64, 4096, 32000, True)
