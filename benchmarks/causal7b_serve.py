@@ -1,0 +1,225 @@
+"""Wall-clock decode of a 7B-class decoder-only engine on ONE v5e chip.
+
+The AOT footprint check proves the fit (bf16 is rejected at compile —
+"Used 19.85G of 15.75G hbm" — while weight-only int8 compiles at
+9.42 + 4.31 GB; see BASELINE.md). This tool measures the int8 engine's
+decode step on the real chip and, at a smaller geometry where both fit,
+the int8-vs-bf16 speedup — the weight stream bounds a small-beam decode
+step, so the roofline predicts ~2x (role of vLLM's quantization options,
+`/root/reference/prover/proof_search.py:332-366`).
+
+Weights are initialized DIRECTLY quantized on device, one stacked weight
+per dispatch via ``lax.map`` (the fp32 layer temp lives only inside the
+jit), so the 13.5 GB bf16 tree never materializes.
+
+Run (real TPU, nothing else on the chip):
+    python benchmarks/causal7b_serve.py                 # 7B int8
+    python benchmarks/causal7b_serve.py --geometry 1p5b --compare-bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--geometry", choices=("7b", "1p5b"), default="7b")
+_ap.add_argument("--compare-bf16", action="store_true",
+                 help="also time the bf16 engine (must fit: 1p5b only)")
+_ap.add_argument("--slots", type=int, default=4)
+_ap.add_argument("--beams", type=int, default=8)
+_ap.add_argument("--src", type=int, default=512)
+_ap.add_argument("--dec", type=int, default=129)
+_ap.add_argument("--iters", type=int, default=32)
+_ap.add_argument("--reps", type=int, default=3)
+_ap.add_argument("--fill", type=int, default=64)
+_ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
+
+
+def _fence(x) -> None:
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def log(**kw) -> None:
+    print(json.dumps(kw), flush=True)
+
+
+def make_cfg(name: str, dtype):
+    from reprover_tpu.models.causal_lm import CausalLMConfig
+
+    if name == "7b":  # LLaMA-7B geometry (MHA)
+        return CausalLMConfig(
+            vocab_size=32000, d_model=4096, num_layers=32, num_heads=32,
+            num_kv_heads=32, d_ff=11008, compute_dtype=dtype,
+        )
+    return CausalLMConfig(  # ~1.3B: both int8 and bf16 fit for the ratio
+        vocab_size=32000, d_model=2048, num_layers=24, num_heads=16,
+        num_kv_heads=16, d_ff=5504, compute_dtype=dtype,
+    )
+
+
+def init_quantized_params(cfg):
+    """init_params ∘ quantize_causal_params without the bf16/fp32 peak:
+    each stacked weight is built in ONE jitted lax.map whose fp32
+    per-layer temp never escapes; only int8 (+ scale) lands in HBM."""
+    from reprover_tpu.models.quantize import quantize_weight
+
+    def dense(key, i, o):
+        return (i ** -0.5) * jax.random.normal(key, (i, o), jnp.float32)
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def stacked_q(layer_keys, i, o):
+        return jax.lax.map(lambda k: quantize_weight(dense(k, i, o)), layer_keys)
+
+    rng = jax.random.PRNGKey(0)
+    k_emb, k_layers, k_head = jax.random.split(rng, 3)
+    hd = cfg.num_heads * cfg.head_dim
+    shapes = {
+        "q": (cfg.d_model, hd),
+        "k": (cfg.d_model, cfg.kv_dim),
+        "v": (cfg.d_model, cfg.kv_dim),
+        "o": (hd, cfg.d_model),
+        "gate": (cfg.d_model, cfg.d_ff),
+        "up": (cfg.d_model, cfg.d_ff),
+        "down": (cfg.d_ff, cfg.d_model),
+    }
+    # per-name keys: fold_in(layer) ∘ fold_in(name index) — distinct streams
+    layers = {}
+    for idx, (name, (i, o)) in enumerate(sorted(shapes.items())):
+        keys = jnp.stack([
+            jax.random.fold_in(jax.random.fold_in(k_layers, li), idx)
+            for li in range(cfg.num_layers)
+        ])
+        layers[name] = stacked_q(keys, i, o)
+        _fence(layers[name])  # keep at most one build in flight
+    ones = jnp.ones((cfg.num_layers, cfg.d_model), jnp.float32)
+    layers["input_norm"] = ones
+    layers["post_norm"] = ones
+
+    @jax.jit
+    def emb_and_head(ke, kh):
+        e = jax.random.normal(ke, (cfg.vocab_size, cfg.d_model), jnp.float32) * 0.02
+        h = quantize_weight(dense(kh, cfg.d_model, cfg.vocab_size))
+        return e.astype(jnp.bfloat16), h
+
+    emb, head = emb_and_head(k_emb, k_head)
+    return {
+        "embedding": emb,
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
+        "lm_head": head,
+    }
+
+
+def weight_stream_bytes(params) -> int:
+    """Bytes of model weights a single decode step reads from HBM."""
+    return sum(
+        leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(params)
+        if leaf.ndim >= 2  # norms are negligible; embedding row-gather ~0
+    ) - params["embedding"].size * params["embedding"].dtype.itemsize
+
+
+def time_step(cfg, params, tag: str) -> None:
+    import dataclasses
+
+    from reprover_tpu.generation.causal_engine import (
+        CausalStepwiseEngine,
+        causal_engine_step,
+    )
+
+    S, K = _ARGS.slots, _ARGS.beams
+    eng = CausalStepwiseEngine(
+        params, cfg, num_slots=S, num_beams=K,
+        max_src_len=_ARGS.src, max_decode_len=_ARGS.dec,
+    )
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, cfg.vocab_size, (S, _ARGS.src)).astype(np.int32)
+    mask = np.ones((S, _ARGS.src), np.int32)
+    t0 = time.perf_counter()
+    eng.admit_batch_tokens(list(range(S)), ids, mask)
+    _fence(eng.state.n)
+    admit_s = time.perf_counter() - t0
+    state = dataclasses.replace(
+        eng.state,
+        n=jnp.full((S,), _ARGS.fill, jnp.int32),
+        done=jnp.zeros((S,), bool),
+    )
+    # single-device TPU ⇒ the engine uses the Pallas gather reorder
+    gather = jax.devices()[0].platform == "tpu"
+
+    @jax.jit
+    def looped(st):
+        return jax.lax.fori_loop(
+            0,
+            _ARGS.iters,
+            lambda _, s: dataclasses.replace(
+                causal_engine_step(cfg=cfg, params=params, state=s,
+                                   length_penalty=0.0, gather_reorder=gather),
+                # pin the fill level so every iteration times the same shape
+                n=s.n,
+                done=jnp.zeros_like(s.done),
+            ),
+            st,
+        )
+
+    t0 = time.perf_counter()
+    out = looped(state)
+    _fence(out.n)
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(_ARGS.reps):
+        t0 = time.perf_counter()
+        out = looped(state)
+        _fence(out.n)
+        best = min(best, (time.perf_counter() - t0) * 1e3 / _ARGS.iters)
+    wbytes = weight_stream_bytes(params)
+    log(
+        tag=tag,
+        geometry=_ARGS.geometry,
+        slots=S,
+        beams=K,
+        fill=_ARGS.fill,
+        ms_per_step=round(best, 3),
+        tokens_per_s=round(S * K * 1e3 / best, 1),
+        admit_s=round(admit_s, 2),
+        compile_s=round(compile_s, 1),
+        weight_stream_gb=round(wbytes / 1e9, 2),
+        # v5e HBM ~819 GB/s: fraction of the step explained by weights
+        weight_bw_util=round(wbytes / 1e9 / 819.0 / (best / 1e3), 3),
+    )
+
+
+def main() -> None:
+    from reprover_tpu.models import causal_lm  # noqa: F401 (import check)
+
+    assert jax.devices()[0].platform == "tpu", "real-TPU benchmark"
+    cfg = make_cfg(_ARGS.geometry, jnp.bfloat16)
+    qparams = init_quantized_params(cfg)
+    time_step(cfg, qparams, tag="int8")
+    if _ARGS.compare_bf16:
+        assert _ARGS.geometry != "7b", "bf16 7B does not fit one chip"
+        del qparams
+        from reprover_tpu.models.causal_lm import init_params
+
+        bparams = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x,
+                init_params(k, cfg),
+            )
+        )(jax.random.PRNGKey(0))
+        time_step(cfg, bparams, tag="bf16")
+
+
+if __name__ == "__main__":
+    main()
