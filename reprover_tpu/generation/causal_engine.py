@@ -310,14 +310,14 @@ class CausalStepwiseEngine(StepwiseEngineBase):
             # Weight-only int8: near-lossless beams, half the weight HBM
             # stream — a 7B-class decoder (13.5 GB bf16) serves from ONE
             # 16 GB chip. Large matmuls route through the Pallas w8a16
-            # kernel (reprover_tpu.ops.quant_matmul).
-            assert mesh is None, (
-                "quantize + tensor-parallel not supported: the partition-"
-                "spec builder walks raw weight leaves; shard OR quantize"
-            )
+            # kernel (reprover_tpu.ops.quant_matmul). Composes with TP
+            # (int8 shards over the mesh like bf16, halving per-chip
+            # weight HBM — a 13B-class model on TP=2); under a mesh the
+            # kernel routing is off (kernel_ok=False: a pallas_call can't
+            # be GSPMD-partitioned) and the int8 dot partitions normally.
             from reprover_tpu.models.quantize import quantize_causal_params
 
-            params = quantize_causal_params(params)
+            params = quantize_causal_params(params, kernel_ok=mesh is None)
         if mesh is not None:
             # Tensor-parallel serving over the mesh's `model` axis — the
             # decoder-only family is where >1-chip models are realistic

@@ -942,13 +942,13 @@ class StepwiseBeamEngine(StepwiseEngineBase):
             # Weight-only int8 serving (near-lossless beams; halves the
             # weight HBM stream — a memory option at byt5 scale, a
             # bandwidth win for models whose weights bound the step).
-            assert mesh is None, (
-                "quantize + tensor-parallel not supported: the partition-"
-                "spec builder walks raw weight leaves; shard OR quantize"
-            )
+            # Composes with TP: the spec builder mirrors QuantWeight
+            # nodes; under a mesh the Pallas w8a16 routing is disabled
+            # (kernel_ok=False — a pallas_call can't be GSPMD-partitioned)
+            # and the int8 dot partitions like any XLA matmul.
             from reprover_tpu.models.quantize import quantize_t5_params
 
-            params = quantize_t5_params(params)
+            params = quantize_t5_params(params, kernel_ok=mesh is None)
         if mesh is not None:
             # Tensor-parallel serving: Megatron column/row splits over the
             # mesh's `model` axis (the vLLM `tensor_parallel_size` role,

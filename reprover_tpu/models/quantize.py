@@ -28,17 +28,24 @@ import jax.numpy as jnp
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class QuantWeight:
-    """int8 weight [..., I, O] + fp32 per-output-channel scale [..., 1, O]."""
+    """int8 weight [..., I, O] + fp32 per-output-channel scale [..., 1, O].
+
+    ``kernel_ok`` (static aux data) gates the Pallas w8a16 routing: set
+    False when the weight is sharded over a TP mesh — a ``pallas_call``
+    cannot be GSPMD-partitioned, so routing there would force XLA to
+    all-gather the full weight every step. The XLA int8 path partitions
+    like any dot."""
 
     q: jnp.ndarray
     scale: jnp.ndarray
+    kernel_ok: bool = True
 
-    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, jnp.ndarray], None]:
-        return ((self.q, self.scale), None)
+    def tree_flatten(self) -> tuple[tuple[jnp.ndarray, jnp.ndarray], bool]:
+        return ((self.q, self.scale), self.kernel_ok)
 
     @classmethod
-    def tree_unflatten(cls, aux: None, children: tuple) -> "QuantWeight":
-        return cls(*children)
+    def tree_unflatten(cls, aux: bool, children: tuple) -> "QuantWeight":
+        return cls(*children, kernel_ok=aux)
 
     @property
     def ndim(self) -> int:  # structural compat with array leaves
@@ -49,14 +56,14 @@ class QuantWeight:
         return self.q.shape
 
 
-def quantize_weight(w: jnp.ndarray) -> QuantWeight:
+def quantize_weight(w: jnp.ndarray, kernel_ok: bool = True) -> QuantWeight:
     """Per-output-channel symmetric int8 (output = last axis; leading axes,
     e.g. the stacked-layer axis, quantize independently)."""
     w32 = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # [..., 1, O]
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-    return QuantWeight(q=q, scale=scale)
+    return QuantWeight(q=q, scale=scale, kernel_ok=kernel_ok)
 
 
 # Kernel-routing thresholds (see :func:`quantized_dense`). byt5-small's
@@ -78,6 +85,8 @@ FORCE_KERNEL: "bool | None" = None
 
 
 def _use_kernel(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> bool:
+    if not w.kernel_ok:
+        return False  # TP-sharded weight: pallas_call can't be partitioned
     if w.q.ndim != 2:
         return False  # stacked-layer weights are consumed via lax.scan slices
     k, n = w.q.shape
@@ -165,26 +174,28 @@ _CAUSAL_MATMUL_KEYS = frozenset(
 )
 
 
-def _quantize_tree(params: Any, keys: frozenset) -> Any:
+def _quantize_tree(params: Any, keys: frozenset, kernel_ok: bool = True) -> Any:
     def rec(node, key=None):
         if isinstance(node, dict):
             return {k: rec(v, k) for k, v in node.items()}
         if isinstance(node, QuantWeight):  # idempotent
             return node
         if key in keys and hasattr(node, "ndim") and node.ndim >= 2:
-            return quantize_weight(node)
+            return quantize_weight(node, kernel_ok=kernel_ok)
         return node
 
     return rec(params)
 
 
-def quantize_t5_params(params: Any) -> Any:
+def quantize_t5_params(params: Any, kernel_ok: bool = True) -> Any:
     """Quantize every T5 matmul weight (attention/MLP/lm_head); norms,
-    embeddings, and relative-position biases stay in full precision."""
-    return _quantize_tree(params, _T5_MATMUL_KEYS)
+    embeddings, and relative-position biases stay in full precision.
+    ``kernel_ok=False`` when the tree will be TP-sharded (see
+    :class:`QuantWeight`)."""
+    return _quantize_tree(params, _T5_MATMUL_KEYS, kernel_ok)
 
 
-def quantize_causal_params(params: Any) -> Any:
+def quantize_causal_params(params: Any, kernel_ok: bool = True) -> Any:
     """Quantize every LLaMA-family matmul weight (attention q/k/v/o,
     SwiGLU gate/up/down, lm_head); the token embedding, RMSNorm scales,
     and — under ``tie_word_embeddings`` — the tied output projection stay
@@ -192,4 +203,4 @@ def quantize_causal_params(params: Any) -> Any:
     7B-class decoder (13.5 GB bf16) fits a single 16 GB v5e chip with room
     for the engine's KV caches (role of vLLM's quantization options,
     `/root/reference/prover/proof_search.py:332-366`)."""
-    return _quantize_tree(params, _CAUSAL_MATMUL_KEYS)
+    return _quantize_tree(params, _CAUSAL_MATMUL_KEYS, kernel_ok)

@@ -28,6 +28,27 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def _mirror_quant_specs(params: Any, specs: Any) -> Any:
+    """Mirror int8 ``QuantWeight`` nodes of ``params`` into a spec tree so
+    tree structures match for ``shard_pytree``/``device_put``. The scale
+    tensor is [..., 1, O]: it keeps the weight's output-channel sharding
+    (axis -1) and replicates the contracted axis (-2, size 1)."""
+    from reprover_tpu.models.quantize import QuantWeight
+
+    def rec(p, s):
+        if isinstance(p, dict):
+            return {k: rec(p[k], s[k]) for k in p}
+        if isinstance(p, QuantWeight):
+            full = tuple(s) + (None,) * (p.q.ndim - len(tuple(s)))
+            return QuantWeight(
+                q=s, scale=P(*full[:-2], None, full[-1]),
+                kernel_ok=p.kernel_ok,
+            )
+        return s
+
+    return rec(params, specs)
+
+
 def _attn_specs(layered: bool) -> Dict[str, P]:
     """Megatron split: q/k/v column-parallel (head dim), o row-parallel."""
     l = (None,) if layered else ()
@@ -93,7 +114,7 @@ def param_partition_specs(
         }
     if "lm_head" in params:
         out["lm_head"] = P(None, "model")
-    return out
+    return _mirror_quant_specs(params, out)
 
 
 def causal_param_partition_specs(params: Params, model_parallel: bool = False) -> Any:
@@ -123,7 +144,7 @@ def causal_param_partition_specs(params: Params, model_parallel: bool = False) -
     }
     if "lm_head" in params:
         out["lm_head"] = P(None, "model")
-    return out
+    return _mirror_quant_specs(params, out)
 
 
 def zero_partition_specs(
