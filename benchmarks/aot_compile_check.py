@@ -65,7 +65,14 @@ def _target():
     return NamedSharding(mesh, PartitionSpec())
 
 
-def check(name: str, fn, *args, donate: tuple = (), expect_oom: bool = False) -> None:
+def check(
+    name: str,
+    fn,
+    *args,
+    donate: tuple = (),
+    expect_oom: bool = False,
+    arg_shardings: tuple = None,
+) -> None:
     """AOT-compile ``fn`` for one v5e core; args are ShapeDtypeStructs.
 
     Already-jit'd callables (e.g. the train step from
@@ -78,10 +85,21 @@ def check(name: str, fn, *args, donate: tuple = (), expect_oom: bool = False) ->
     16 GB to predict that."""
     if _ONLY and _ONLY not in name:
         return
-    rep = _REP
-    args = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep), args
-    )
+    if arg_shardings is None:
+        rep = _REP
+        args = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=rep), args
+        )
+    else:
+        # multi-device (TP) compile: one sharding tree per argument;
+        # memory_analysis then reports the PER-CHIP program.
+        args = tuple(
+            jax.tree.map(
+                lambda a, sh: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+                arg, shs,
+            )
+            for arg, shs in zip(args, arg_shardings)
+        )
     try:
         jitted = (
             fn if hasattr(fn, "lower") else jax.jit(fn, donate_argnums=donate)
@@ -412,6 +430,55 @@ def main() -> None:
         "causal7b_bf16_engine_step",
         lambda p, s: causal_engine_step(p, b7, s, 0.0, gather_reorder=True),
         p7, s7, donate=(1,), expect_oom=True,
+    )
+
+    # ---- 13B-class decoder on TP=2 via int8 x tensor parallel ------ #
+    # Chipless MULTI-device compile: a 2-device mesh over topology
+    # devices, int8 params sharded with the quant-aware Megatron specs
+    # (kernel_ok=False — the engine's TP mode), KV caches over their
+    # head axis, einsum reorder (the engine's mesh gate). Per-chip
+    # weights: 12.7 GB bf16 / 2 chips would still be 6.4 GB — int8 TP=2
+    # brings the whole step comfortably under one chip's 16 GB.
+    import dataclasses as _dc
+
+    from jax.experimental import topologies as _tps
+    from jax.sharding import Mesh as _Mesh, NamedSharding as _NS, PartitionSpec as _P
+
+    from reprover_tpu.generation.causal_engine import CausalEngineState
+    from reprover_tpu.parallel.sharding import causal_param_partition_specs
+
+    topo2 = _tps.get_topology_desc(platform="tpu", topology_name="v5e:2x2x1")
+    mesh2 = _Mesh(np.array(topo2.devices[:2]).reshape(1, 2), ("data", "model"))
+    b13 = causal_lm.CausalLMConfig(
+        vocab_size=32000, d_model=5120, num_layers=40, num_heads=40,
+        num_kv_heads=40, d_ff=13824, compute_dtype=bf,
+    )
+    p13 = jax.eval_shape(
+        lambda: jax.tree.map(
+            lambda x: x.astype(bf),
+            causal_lm.init_params(jax.random.PRNGKey(0), b13),
+        )
+    )
+    q13 = jax.eval_shape(
+        functools.partial(quantize_causal_params, kernel_ok=False), p13
+    )
+    s13 = jax.eval_shape(lambda: init_causal_engine_state(b13, 4, 8, 512, 129))
+    pshard = jax.tree.map(
+        lambda sp: _NS(mesh2, sp),
+        causal_param_partition_specs(q13, model_parallel=True),
+    )
+    # mirror of CausalStepwiseEngine._state_shardings on mesh2
+    pkv = _NS(mesh2, _P(None, None, "model", None, None))
+    dkv = _NS(mesh2, _P(None, None, None, "model", None, None))
+    rep2 = _NS(mesh2, _P())
+    sshard = CausalEngineState(**{
+        **{f.name: rep2 for f in _dc.fields(CausalEngineState)},
+        "prompt_k": pkv, "prompt_v": pkv, "dec_k": dkv, "dec_v": dkv,
+    })
+    check(
+        "causal13b_int8_tp2_engine_step",
+        lambda p, s: causal_engine_step(p, b13, s, 0.0, gather_reorder=False),
+        q13, s13, donate=(1,), arg_shardings=(pshard, sshard),
     )
 
     # ---- full training-step programs (reference configs) ----------- #
