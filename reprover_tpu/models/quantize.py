@@ -103,6 +103,25 @@ def _use_kernel(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _kernel_matmul(
+    x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype, out_dtype: jnp.dtype
+) -> jnp.ndarray:
+    """Route through the Pallas w8a16 kernel (collapse leading axes)."""
+    from reprover_tpu.ops.quant_matmul import quant_matmul
+
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= int(s)
+    y = quant_matmul(
+        x.reshape(m, x.shape[-1]).astype(dtype),
+        w.q,
+        w.scale.reshape(-1),
+        out_dtype=out_dtype,
+    )
+    return y.reshape(*lead, y.shape[-1])
+
+
 def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.ndarray:
     """y = (x @ int8) * scale, fp32 accumulation.
 
@@ -120,19 +139,7 @@ def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.nda
       half the weight bytes.
     """
     if _use_kernel(x, w, dtype):
-        from reprover_tpu.ops.quant_matmul import quant_matmul
-
-        lead = x.shape[:-1]
-        m = 1
-        for s in lead:
-            m *= int(s)
-        y = quant_matmul(
-            x.reshape(m, x.shape[-1]).astype(dtype),
-            w.q,
-            w.scale.reshape(-1),
-            out_dtype=dtype,
-        )
-        return y.reshape(*lead, y.shape[-1])
+        return _kernel_matmul(x, w, dtype, out_dtype=dtype)
     y = jnp.dot(
         x.astype(dtype),
         w.q.astype(dtype),
@@ -146,19 +153,7 @@ def quantized_logits(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.nd
     logits (softmax islands stay full precision) instead of casting back to
     the compute dtype. Same kernel-routing rule."""
     if _use_kernel(x, w, dtype):
-        from reprover_tpu.ops.quant_matmul import quant_matmul
-
-        lead = x.shape[:-1]
-        m = 1
-        for s in lead:
-            m *= int(s)
-        y = quant_matmul(
-            x.reshape(m, x.shape[-1]).astype(dtype),
-            w.q,
-            w.scale.reshape(-1),
-            out_dtype=jnp.float32,
-        )
-        return y.reshape(*lead, y.shape[-1])
+        return _kernel_matmul(x, w, dtype, out_dtype=jnp.float32)
     y = jnp.dot(
         x.astype(dtype), w.q.astype(dtype), preferred_element_type=jnp.float32
     )

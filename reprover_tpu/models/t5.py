@@ -631,7 +631,7 @@ def decode(
 
 
 def _lm_logits(params: Params, cfg: T5Config, h: jnp.ndarray) -> jnp.ndarray:
-    from reprover_tpu.models.quantize import QuantWeight
+    from reprover_tpu.models.quantize import QuantWeight, quantized_logits
 
     if cfg.tie_word_embeddings:
         h = h * (cfg.d_model ** -0.5)
@@ -639,12 +639,7 @@ def _lm_logits(params: Params, cfg: T5Config, h: jnp.ndarray) -> jnp.ndarray:
     else:
         w = params["lm_head"]
     if isinstance(w, QuantWeight):
-        logits = jnp.dot(
-            h.astype(cfg.compute_dtype),
-            w.q.astype(cfg.compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return logits * w.scale[..., 0, :].astype(jnp.float32)
+        return quantized_logits(h, w, cfg.compute_dtype)
     return jnp.dot(
         h.astype(cfg.compute_dtype),
         w.astype(cfg.compute_dtype),
