@@ -14,6 +14,8 @@ encoder, at ~30% MFU of 312 bf16 TFLOP/s => ~200 premises/sec.
 """
 
 import json
+
+import sys
 import time
 
 import jax
@@ -22,6 +24,38 @@ import numpy as np
 
 A100_REFERENCE_PREMISES_PER_SEC = 200.0
 SEQ_LEN = 1024
+
+
+def _init_devices_or_die():
+    """First device touch, guarded. With the axon relay down, the TPU
+    plugin's backend init retries forever inside native code (CLAUDE.md —
+    not even SIGALRM can interrupt it), so probe the relay endpoint
+    (`jax.devices()` goes via :8083 on PALLAS_AXON_POOL_IPS; see the
+    plugin's register/pjrt.py) BEFORE initializing and fail loudly
+    instead of hanging the driver's bench run."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
+        try:
+            socket.create_connection((host, 8083), timeout=10).close()
+        except OSError as e:
+            print(
+                json.dumps(
+                    {
+                        "metric": "embed_throughput",
+                        "value": 0.0,
+                        "unit": "premises/sec",
+                        "vs_baseline": 0.0,
+                        "error": f"TPU relay {host}:8083 unreachable ({e}); "
+                        "device init would hang forever",
+                    }
+                ),
+                flush=True,
+            )
+            sys.exit(1)
+    return jax.devices()
 
 
 def main() -> None:
@@ -33,7 +67,7 @@ def main() -> None:
     )
     from reprover_tpu.ops import masked_mean_normalize
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = _init_devices_or_die()[0].platform == "tpu"
     cfg = byt5_small(
         compute_dtype=jnp.bfloat16, flash_encoder=on_tpu, unroll_encoder=on_tpu
     )
