@@ -130,6 +130,7 @@ class CausalTacticGeneratorModel:
         length_penalty: float = 0.0,
         template: str = GOAL_TEMPLATE,
         compute_dtype: Any = None,
+        quantize: bool = False,
     ) -> "CausalTacticGeneratorModel":
         from transformers import AutoTokenizer
 
@@ -143,7 +144,7 @@ class CausalTacticGeneratorModel:
         tokenizer = AutoTokenizer.from_pretrained(ckpt_dir)
         return cls(
             params, cfg, tokenizer, max_inp_seq_len, max_oup_seq_len,
-            length_penalty, template,
+            length_penalty, template, quantize=quantize,
         )
 
     def _tokenize(self, prompts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -170,6 +170,12 @@ def main() -> None:
     parser.add_argument("--save-results", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(
+        "--quantize",
+        action="store_true",
+        help="weight-only int8 generator serving (near-lossless beams, "
+        "half the weight HBM — fits 7B-class decoders on one 16GB chip)",
+    )
+    parser.add_argument(
         "--approx",
         action="store_true",
         help="approx_max_k retrieval queries (recall 0.99, +42%% QPS)",
@@ -279,6 +285,7 @@ def main() -> None:
                 args.max_inp_seq_len,
                 args.max_oup_seq_len,
                 args.length_penalty,
+                quantize=args.quantize,
             )
         else:
             model = TacticGeneratorModel.load_hf(
@@ -286,6 +293,7 @@ def main() -> None:
                 args.max_inp_seq_len,
                 args.max_oup_seq_len,
                 args.length_penalty,
+                quantize=args.quantize,
             )
         retriever = None
         if args.indexed_corpus_path is not None:
@@ -333,6 +341,7 @@ def main() -> None:
             args.max_inp_seq_len,
             args.max_oup_seq_len,
             args.length_penalty,
+            quantize=args.quantize,
         )
         if args.indexed_corpus_path is not None:
             tac_gen = RetrievalAugmentedTacticGenerator(

@@ -86,7 +86,8 @@ class LocalTacticGenerator(TacticGenerator):
     failed load."""
 
     def __init__(self, model_or_path: Any, max_inp_seq_len: int = 2048,
-                 max_oup_seq_len: int = 512, length_penalty: float = 0.0) -> None:
+                 max_oup_seq_len: int = 512, length_penalty: float = 0.0,
+                 quantize: bool = False) -> None:
         if isinstance(model_or_path, str):
             self._path = model_or_path
             self.model = None
@@ -96,6 +97,8 @@ class LocalTacticGenerator(TacticGenerator):
         self.max_inp_seq_len = max_inp_seq_len
         self.max_oup_seq_len = max_oup_seq_len
         self.length_penalty = length_penalty
+        # Weight-only int8 serving (near-lossless; vLLM-quantization role)
+        self.quantize = quantize
 
     def initialize(self) -> None:
         if self.model is None:
@@ -111,6 +114,7 @@ class LocalTacticGenerator(TacticGenerator):
                     self.max_inp_seq_len,
                     self.max_oup_seq_len,
                     self.length_penalty,
+                    quantize=self.quantize,
                 )
             else:
                 from reprover_tpu.generation import TacticGeneratorModel
@@ -120,6 +124,7 @@ class LocalTacticGenerator(TacticGenerator):
                     self.max_inp_seq_len,
                     self.max_oup_seq_len,
                     self.length_penalty,
+                    quantize=self.quantize,
                 )
 
     async def generate(
