@@ -420,6 +420,25 @@ def main() -> None:
             lambda p, s: causal_engine_step(p, b7, s, 0.0, gather_reorder=True),
             q7, s7, donate=(1,),
         )
+        # The admission program at a FULL wave (A = num_slots) hits the
+        # w8a16 kernel at its largest M — prefill rows A*(max_src_len-1)
+        # = 4*511 = 2044. This is the program that exposed the kernel's
+        # full-M x-tile scoped-VMEM OOM on the real chip (fixed by the
+        # M-blocked grid in ops/quant_matmul.py); keep it covered.
+        from types import SimpleNamespace
+
+        from reprover_tpu.generation.causal_engine import CausalStepwiseEngine
+
+        eng7 = SimpleNamespace(cfg=b7, num_slots=4, num_beams=8)
+        check(
+            "causal7b_int8_admit_wave",
+            lambda p, s, sl, i, m: CausalStepwiseEngine._admit_program(
+                eng7, p, s, sl, i, m
+            ),
+            q7, s7, sds((4,), jnp.int32),
+            sds((4, 512), jnp.int32), sds((4, 512), jnp.int32),
+            donate=(1,),
+        )
     finally:
         _qz.FORCE_KERNEL = None
     # bf16 negative control at the same geometry: measured chipless

@@ -41,6 +41,15 @@ def _block_n(n: int) -> int:
     return n  # odd N (e.g. 1472): single full tile
 
 
+# Rows per x tile when M is large. Small-M calls (incremental decode, the
+# kernel's design point) keep a single full-M tile; prompt-length calls
+# (e.g. M=2044 in the engine's admission program) must block over M or the
+# x tile alone (M*K*2 bytes) blows the ~16 MB scoped-VMEM stack — observed
+# as a compile-time "scoped allocation ... exceeded scoped vmem limit" on
+# the 7B admission program. 512 rows * K=4096 * 2 B = 4 MB/tile.
+_BLOCK_M = 512
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def quant_matmul(
     x: jnp.ndarray,  # [M, K] bf16/fp32
@@ -56,20 +65,35 @@ def quant_matmul(
     bn = _block_n(n)
     scale2 = scale.reshape(1, n).astype(jnp.float32)
 
-    return pl.pallas_call(
+    # Block over M past _BLOCK_M rows; pad M to the block multiple (zero
+    # rows — XLA fuses the pad, and the slice below drops them).
+    m_pad = m
+    if m > _BLOCK_M:
+        m_pad = -(-m // _BLOCK_M) * _BLOCK_M
+        if m_pad != m:
+            x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    bm = min(m_pad, _BLOCK_M)
+
+    out = pl.pallas_call(
         functools.partial(_kernel, out_dtype=out_dtype),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        grid=(n // bn,),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        # M outer / N inner: the x tile stays resident across a row of N
+        # blocks (its index map is constant in j), so x is fetched once
+        # per M block and the int8 weight stream stays the dominant DMA.
+        grid=(m_pad // bm, n // bn),
         in_specs=[
-            pl.BlockSpec((m, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * k * n,
-            bytes_accessed=m * k * 2 + k * n + m * n * 2,
+            flops=2 * m_pad * k * n,
+            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )(x, q, scale2)
+    return out[:m] if m_pad != m else out

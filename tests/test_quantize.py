@@ -97,7 +97,10 @@ def test_pallas_quant_matmul_interpret():
     from reprover_tpu.ops.quant_matmul import quant_matmul
 
     rng = np.random.default_rng(2)
-    for m, k, n in ((64, 1472, 384), (8, 384, 1472), (5, 256, 128)):
+    # 1100 > _BLOCK_M exercises the M-blocked path with a padded last
+    # block (1100 -> 1536) — the prompt-admission shape class whose full-M
+    # tile blew scoped VMEM at 7B geometry before the M grid existed.
+    for m, k, n in ((64, 1472, 384), (8, 384, 1472), (5, 256, 128), (1100, 256, 512)):
         x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
         w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
         qw = quantize_weight(w)
