@@ -425,15 +425,12 @@ def main() -> None:
         # = 4*511 = 2044. This is the program that exposed the kernel's
         # full-M x-tile scoped-VMEM OOM on the real chip (fixed by the
         # M-blocked grid in ops/quant_matmul.py); keep it covered.
-        from types import SimpleNamespace
+        from reprover_tpu.generation.causal_engine import causal_admit_program
 
-        from reprover_tpu.generation.causal_engine import CausalStepwiseEngine
-
-        eng7 = SimpleNamespace(cfg=b7, num_slots=4, num_beams=8)
         check(
             "causal7b_int8_admit_wave",
-            lambda p, s, sl, i, m: CausalStepwiseEngine._admit_program(
-                eng7, p, s, sl, i, m
+            lambda p, s, sl, i, m: causal_admit_program(
+                p, b7, 4, 8, s, sl, i, m
             ),
             q7, s7, sds((4,), jnp.int32),
             sds((4, 512), jnp.int32), sds((4, 512), jnp.int32),

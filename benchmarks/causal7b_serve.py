@@ -158,13 +158,15 @@ def time_step(cfg, params, tag: str) -> None:
     # single-device TPU ⇒ the engine uses the Pallas gather reorder
     gather = jax.devices()[0].platform == "tpu"
 
+    # params MUST be an argument, not a closure: jit would capture the
+    # 6.9 GB int8 tree as lowering constants (doubling weight HBM).
     @jax.jit
-    def looped(st):
+    def looped(p, st):
         return jax.lax.fori_loop(
             0,
             _ARGS.iters,
             lambda _, s: dataclasses.replace(
-                causal_engine_step(cfg=cfg, params=params, state=s,
+                causal_engine_step(cfg=cfg, params=p, state=s,
                                    length_penalty=0.0, gather_reorder=gather),
                 # pin the fill level so every iteration times the same shape
                 n=s.n,
@@ -174,13 +176,13 @@ def time_step(cfg, params, tag: str) -> None:
         )
 
     t0 = time.perf_counter()
-    out = looped(state)
+    out = looped(params, state)
     _fence(out.n)
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(_ARGS.reps):
         t0 = time.perf_counter()
-        out = looped(state)
+        out = looped(params, state)
         _fence(out.n)
         best = min(best, (time.perf_counter() - t0) * 1e3 / _ARGS.iters)
     wbytes = weight_stream_bytes(params)

@@ -40,6 +40,20 @@ _ap.add_argument(
     help="force the flash-encoder q-block (0 = heuristic; 256/384/768 "
     "divide L=2304 and AOT-compile — see aot_compile_check.py)",
 )
+_ap.add_argument(
+    "--flash-block-kv", type=int, default=0,
+    help="route the flash encoder through the KV-blocked kernel at this "
+    "KV block (keeps block_q at 512 where the full-row heuristic drops "
+    "to 128, e.g. L=2304)",
+)
+_ap.add_argument("--inp", type=int, default=2304,
+                 help="encoder input length (8192 = the long-context step)")
+_ap.add_argument("--out", type=int, default=512)
+_ap.add_argument(
+    "--step-only", action="store_true",
+    help="time only the donated full train step (the attribution passes "
+    "lack donation and can OOM at long context where the step fits)",
+)
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 V5E_PEAK_TFLOPS = 197.0
@@ -79,10 +93,11 @@ def main() -> None:
         flash_encoder=on_tpu,
         flash_decoder=on_tpu,
         flash_block_q=_ARGS.flash_block_q,
+        flash_block_kv=_ARGS.flash_block_kv,
     )
     params = fuse_mlp_params(init_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)
-    B, Lg, T = _ARGS.batch, 2304, 512
+    B, Lg, T = _ARGS.batch, _ARGS.inp, _ARGS.out
     labels = np.asarray(rng.integers(3, 259, (B, T)), np.int32)
     labels[:, -8:] = -100
     batch = {
@@ -97,39 +112,44 @@ def main() -> None:
         "flash_block_q": _ARGS.flash_block_q,
     }
 
-    # fwd-only loss
-    fwd = jax.jit(lambda p, b: generation_loss(p, cfg, b))
-    res["fwd_ms"] = round(timed(fwd, params, batch), 1)
+    if not _ARGS.step_only:
+        # fwd-only loss
+        fwd = jax.jit(lambda p, b: generation_loss(p, cfg, b))
+        res["fwd_ms"] = round(timed(fwd, params, batch), 1)
 
-    # fwd+bwd (no optimizer)
-    fwdbwd = jax.jit(
-        lambda p, b: jax.value_and_grad(
-            lambda pp: generation_loss(pp, cfg, b)
-        )(p)
-    )
-    res["fwdbwd_ms"] = round(timed(fwdbwd, params, batch), 1)
-    res["bwd_fwd_ratio"] = round(
-        (res["fwdbwd_ms"] - res["fwd_ms"]) / res["fwd_ms"], 2
-    )
-
-    # encoder-only fwd and fwd+bwd (grad wrt params through a sum readout)
-    enc_fwd = jax.jit(
-        lambda p, i, m: jnp.sum(
-            encode(p, cfg, i, m).astype(jnp.float32) ** 2
+        # fwd+bwd (no optimizer)
+        fwdbwd = jax.jit(
+            lambda p, b: jax.value_and_grad(
+                lambda pp: generation_loss(pp, cfg, b)
+            )(p)
         )
-    )
-    res["enc_fwd_ms"] = round(
-        timed(enc_fwd, params, batch["state_ids"], batch["state_mask"]), 1
-    )
-    enc_bwd = jax.jit(
-        lambda p, i, m: jax.grad(
-            lambda pp: jnp.sum(encode(pp, cfg, i, m).astype(jnp.float32) ** 2)
-        )(p)
-    )
-    res["enc_fwdbwd_ms"] = round(
-        timed(enc_bwd, params, batch["state_ids"], batch["state_mask"]), 1
-    )
-    res["decoder_share_ms"] = round(res["fwdbwd_ms"] - res["enc_fwdbwd_ms"], 1)
+        res["fwdbwd_ms"] = round(timed(fwdbwd, params, batch), 1)
+        res["bwd_fwd_ratio"] = round(
+            (res["fwdbwd_ms"] - res["fwd_ms"]) / res["fwd_ms"], 2
+        )
+
+        # encoder-only fwd and fwd+bwd (grad wrt params through sum readout)
+        enc_fwd = jax.jit(
+            lambda p, i, m: jnp.sum(
+                encode(p, cfg, i, m).astype(jnp.float32) ** 2
+            )
+        )
+        res["enc_fwd_ms"] = round(
+            timed(enc_fwd, params, batch["state_ids"], batch["state_mask"]), 1
+        )
+        enc_bwd = jax.jit(
+            lambda p, i, m: jax.grad(
+                lambda pp: jnp.sum(
+                    encode(pp, cfg, i, m).astype(jnp.float32) ** 2
+                )
+            )(p)
+        )
+        res["enc_fwdbwd_ms"] = round(
+            timed(enc_bwd, params, batch["state_ids"], batch["state_mask"]), 1
+        )
+        res["decoder_share_ms"] = round(
+            res["fwdbwd_ms"] - res["enc_fwdbwd_ms"], 1
+        )
 
     # full step LAST: the donated train state consumes the param buffers
     tx = make_optimizer(1e-4, 10)
@@ -144,7 +164,8 @@ def main() -> None:
         fence(loss)
         best = min(best, (time.perf_counter() - t0) * 1e3)
     res["step_ms"] = round(best, 1)
-    res["optimizer_ms"] = round(res["step_ms"] - res["fwdbwd_ms"], 1)
+    if not _ARGS.step_only:
+        res["optimizer_ms"] = round(res["step_ms"] - res["fwdbwd_ms"], 1)
 
     # MFU at the measured full step
     D, I, F, H, d = cfg.d_model, cfg.inner_dim, cfg.d_ff, cfg.num_heads, cfg.d_kv
@@ -160,6 +181,9 @@ def main() -> None:
         1,
     )
     res["steps_per_sec"] = round(1e3 / res["step_ms"], 3)
+    res["inp"], res["out"] = Lg, T
+    res["flash_block_kv"] = _ARGS.flash_block_kv
+    res["tokens_per_sec"] = round(B * (Lg + T) * 1e3 / res["step_ms"], 1)
     print(json.dumps(res, indent=2))
 
 

@@ -380,74 +380,93 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         self, params: Params, state: CausalEngineState,
         slots: Any, ids: Any, mask: Any,
     ) -> CausalEngineState:
-        """Wave admission in ONE program: prefill all prompts-but-last
-        ([A, max_src_len-1]), scatter the per-slot prompt K/V and metadata
-        via a one-hot mixing matrix, and arm the beams with each prompt's
-        last token as the start token. Slot -1 rows are no-ops."""
-        cfg = self.cfg
-        S_, K_ = self.num_slots, self.num_beams
-        dt = cfg.compute_dtype
-
-        _, cache = prefill(
-            params, cfg, ids[:, :-1], mask[:, :-1], max_decode_len=0
+        return causal_admit_program(
+            params, self.cfg, self.num_slots, self.num_beams,
+            state, slots, ids, mask,
         )
-        pk, pv = cache.k, cache.v  # [Ld, A, Hkv, Cp, d]
-        pos0_a = cache.position  # [A] — RoPE position of the start token
-        start_a = ids[:, -1]  # [A]
-        pbias_a = jnp.where(mask[:, :-1].astype(bool), 0.0, NEG_INF).astype(
-            jnp.float32
-        )  # [A, Cp]
 
-        M = jax.nn.one_hot(slots, S_, dtype=jnp.float32)  # [A,S]
-        Mi = M.astype(jnp.int32)
-        occ = M.sum(axis=0)  # [S] 0/1
-        occ_b = occ.astype(bool)
 
-        def scatter_prompt(old, new):  # new [Ld,A,Hkv,Cp,d]
-            mixed = jnp.einsum("as,lahcd->lshcd", M.astype(dt), new)
-            m = occ.reshape(1, S_, 1, 1, 1).astype(old.dtype)
-            return old * (1 - m) + mixed.astype(old.dtype) * m
+def causal_admit_program(
+    params: Params,
+    cfg: Any,
+    num_slots: int,
+    num_beams: int,
+    state: CausalEngineState,
+    slots: Any,
+    ids: Any,
+    mask: Any,
+) -> CausalEngineState:
+    """Wave admission in ONE program: prefill all prompts-but-last
+    ([A, max_src_len-1]), scatter the per-slot prompt K/V and metadata
+    via a one-hot mixing matrix, and arm the beams with each prompt's
+    last token as the start token. Slot -1 rows are no-ops.
 
-        prompt_bias = jnp.where(
-            occ_b[:, None],
-            jnp.einsum("as,ac->sc", M, pbias_a),
-            state.prompt_bias,
-        )
-        pos0 = jnp.where(occ_b, (Mi * pos0_a[:, None]).sum(axis=0), state.pos0)
-        start = (Mi * start_a[:, None]).sum(axis=0)  # [S]
+    Module-level with explicit ``(cfg, num_slots, num_beams)`` so offline
+    validators (``benchmarks/aot_compile_check.py``) compile exactly the
+    production program without duck-typing an engine instance."""
+    S_, K_ = num_slots, num_beams
+    dt = cfg.compute_dtype
 
-        def reset(x, value):
-            m = occ.reshape((S_,) + (1,) * (x.ndim - 1)).astype(x.dtype)
-            return x * (1 - m) + jnp.asarray(value, x.dtype) * m
+    _, cache = prefill(
+        params, cfg, ids[:, :-1], mask[:, :-1], max_decode_len=0
+    )
+    pk, pv = cache.k, cache.v  # [Ld, A, Hkv, Cp, d]
+    pos0_a = cache.position  # [A] — RoPE position of the start token
+    start_a = ids[:, -1]  # [A]
+    pbias_a = jnp.where(mask[:, :-1].astype(bool), 0.0, NEG_INF).astype(
+        jnp.float32
+    )  # [A, Cp]
 
-        beam0 = jnp.asarray([0.0] + [float(NEG_INF)] * (K_ - 1), jnp.float32)
-        # Classic ``beam_search`` seeds tokens[..., 0] with the start token
-        # (the prompt's last real token) — generated tokens begin at column
-        # 1 and callers skip column 0 when decoding. (The T5 engine skips
-        # this because its start token IS the pad id.)
-        T_ = state.tokens.shape[2]
-        tokens = reset(state.tokens, cfg.pad_token_id)
-        col0 = jnp.arange(T_)[None, None, :] == 0
-        tokens = jnp.where(
-            occ_b[:, None, None] & col0, start[:, None, None], tokens
-        )
-        return dataclasses.replace(
-            state,
-            prompt_k=scatter_prompt(state.prompt_k, pk),
-            prompt_v=scatter_prompt(state.prompt_v, pv),
-            prompt_bias=prompt_bias,
-            pos0=pos0,
-            n=jnp.where(occ_b, 1, state.n),
-            tokens=tokens,
-            last_token=jnp.where(
-                occ_b[:, None], start[:, None], state.last_token
-            ),
-            beam_scores=jnp.where(
-                occ_b[:, None], beam0[None, :], state.beam_scores
-            ),
-            fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
-            fin_scores=reset(state.fin_scores, float(NEG_INF)),
-            fin_lens=reset(state.fin_lens, 0),
-            done=jnp.where(occ_b, False, state.done),
-            active=state.active | occ_b,
-        )
+    M = jax.nn.one_hot(slots, S_, dtype=jnp.float32)  # [A,S]
+    Mi = M.astype(jnp.int32)
+    occ = M.sum(axis=0)  # [S] 0/1
+    occ_b = occ.astype(bool)
+
+    def scatter_prompt(old, new):  # new [Ld,A,Hkv,Cp,d]
+        mixed = jnp.einsum("as,lahcd->lshcd", M.astype(dt), new)
+        m = occ.reshape(1, S_, 1, 1, 1).astype(old.dtype)
+        return old * (1 - m) + mixed.astype(old.dtype) * m
+
+    prompt_bias = jnp.where(
+        occ_b[:, None],
+        jnp.einsum("as,ac->sc", M, pbias_a),
+        state.prompt_bias,
+    )
+    pos0 = jnp.where(occ_b, (Mi * pos0_a[:, None]).sum(axis=0), state.pos0)
+    start = (Mi * start_a[:, None]).sum(axis=0)  # [S]
+
+    def reset(x, value):
+        m = occ.reshape((S_,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        return x * (1 - m) + jnp.asarray(value, x.dtype) * m
+
+    beam0 = jnp.asarray([0.0] + [float(NEG_INF)] * (K_ - 1), jnp.float32)
+    # Classic ``beam_search`` seeds tokens[..., 0] with the start token
+    # (the prompt's last real token) — generated tokens begin at column
+    # 1 and callers skip column 0 when decoding. (The T5 engine skips
+    # this because its start token IS the pad id.)
+    T_ = state.tokens.shape[2]
+    tokens = reset(state.tokens, cfg.pad_token_id)
+    col0 = jnp.arange(T_)[None, None, :] == 0
+    tokens = jnp.where(
+        occ_b[:, None, None] & col0, start[:, None, None], tokens
+    )
+    return dataclasses.replace(
+        state,
+        prompt_k=scatter_prompt(state.prompt_k, pk),
+        prompt_v=scatter_prompt(state.prompt_v, pv),
+        prompt_bias=prompt_bias,
+        pos0=pos0,
+        n=jnp.where(occ_b, 1, state.n),
+        tokens=tokens,
+        last_token=jnp.where(
+            occ_b[:, None], start[:, None], state.last_token
+        ),
+        beam_scores=jnp.where(
+            occ_b[:, None], beam0[None, :], state.beam_scores
+        ),
+        fin_tokens=reset(state.fin_tokens, cfg.pad_token_id),
+        fin_scores=reset(state.fin_scores, float(NEG_INF)),
+        fin_lens=reset(state.fin_lens, 0),
+        done=jnp.where(occ_b, False, state.done),
+        active=state.active | occ_b,
+    )

@@ -80,6 +80,11 @@ class T5Config:
     # fit — validated by benchmarks/aot_compile_check.py probes); sweep on
     # hardware with benchmarks/flash_kernel_bisect.py --sweep-block-q.
     flash_block_q: int = 0
+    # Route the flash encoder through the KV-blocked online-softmax kernel
+    # with this KV block size (0 = full-row kernel below L=4096). With
+    # block_kv=512 the q-block stays 512 at any L — the lever for lengths
+    # (e.g. 2304) where the full-row VMEM heuristic drops block_q to 128.
+    flash_block_kv: int = 0
 
     @property
     def inner_dim(self) -> int:
@@ -432,7 +437,9 @@ def encode(
                 max_distance=cfg.relative_attention_max_distance,
                 interpret=interpret,
                 **(
-                    {"block_q": cfg.flash_block_q, "force_block_q": True}
+                    {"block_kv": cfg.flash_block_kv}
+                    if cfg.flash_block_kv
+                    else {"block_q": cfg.flash_block_q, "force_block_q": True}
                     if cfg.flash_block_q
                     else {}
                 ),

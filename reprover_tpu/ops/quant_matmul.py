@@ -66,7 +66,10 @@ def quant_matmul(
     scale2 = scale.reshape(1, n).astype(jnp.float32)
 
     # Block over M past _BLOCK_M rows; pad M to the block multiple (zero
-    # rows — XLA fuses the pad, and the slice below drops them).
+    # rows, dropped by the slice below). The pad feeding a pallas_call is
+    # materialized as a copy of x, not fused — at most one extra block of
+    # rows, negligible next to the int8 weight stream this kernel exists
+    # to serve.
     m_pad = m
     if m > _BLOCK_M:
         m_pad = -(-m // _BLOCK_M) * _BLOCK_M
@@ -91,7 +94,12 @@ def quant_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
-            bytes_accessed=m_pad * k * 2 + k * n + m_pad * n * 2,
+            # weight tiles are re-fetched once per M block (the x tile, not
+            # the weight tile, is what stays resident across the inner N
+            # sweep), so the int8 stream costs k*n per M block
+            bytes_accessed=m_pad * k * 2
+            + k * n * (m_pad // bm)
+            + m_pad * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,

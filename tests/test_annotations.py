@@ -54,3 +54,49 @@ def _missing_annotations() -> list:
 def test_all_module_level_functions_annotated() -> None:
     missing = _missing_annotations()
     assert not missing, "unannotated signatures:\n" + "\n".join(missing)
+
+
+def _iter_package_modules() -> list:
+    import importlib
+
+    mods = []
+    for path in sorted(PACKAGE.rglob("*.py")):
+        rel = path.relative_to(PACKAGE.parent).with_suffix("")
+        name = ".".join(rel.parts)
+        if name.endswith(".__init__"):
+            name = name[: -len(".__init__")]
+        mods.append(importlib.import_module(name))
+    return mods
+
+
+def test_annotations_resolve() -> None:
+    """Every annotation must NAME A REAL TYPE: `typing.get_type_hints` on
+    each public function/method fails on annotations referencing
+    nonexistent classes (the bug class the round-3 advisor caught twice —
+    presence-only checks can't). Machine-checkable half of the reference's
+    `mypy strict` gate (`/root/reference/mypy.ini:1-7`)."""
+    import inspect
+    import typing
+
+    failures = []
+    for mod in _iter_package_modules():
+        for name, obj in vars(mod).items():
+            if getattr(obj, "__module__", None) != mod.__name__:
+                continue  # re-exports are checked in their home module
+            targets = []
+            if inspect.isfunction(obj):
+                targets.append((f"{mod.__name__}.{name}", obj))
+            elif inspect.isclass(obj):
+                targets.append((f"{mod.__name__}.{name}", obj))
+                for mname, meth in vars(obj).items():
+                    fn = getattr(meth, "__func__", meth)
+                    if inspect.isfunction(fn):
+                        targets.append(
+                            (f"{mod.__name__}.{name}.{mname}", fn)
+                        )
+            for label, fn in targets:
+                try:
+                    typing.get_type_hints(fn)
+                except Exception as e:  # NameError, AttributeError, ...
+                    failures.append(f"{label}: {type(e).__name__}: {e}")
+    assert not failures, "unresolvable annotations:\n" + "\n".join(failures)
