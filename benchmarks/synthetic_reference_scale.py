@@ -50,6 +50,17 @@ _ap.add_argument("--init-hf", default=None,
                  help="HF-layout dir (e.g. a span-corruption pretraining "
                  "export) to initialize the retriever from, instead of "
                  "random init — the reference's pretrained-byt5 role")
+_ap.add_argument("--hard", action="store_true",
+                 help="un-saturated benchmark (opaque premise names, "
+                 "pattern-keyed goals, distractor families, deeper proofs "
+                 "— scripts/make_synthetic_benchmark.py --hard)")
+_ap.add_argument("--rag", default="trained",
+                 choices=["trained", "none", "oracle", "random"],
+                 help="retrieval-quality ablation: trained retriever / no "
+                 "augmentation at all / ground-truth-positive augmentation "
+                 "(upper bound) / random-premise augmentation (broken-"
+                 "retriever control). oracle/random/none skip retriever "
+                 "training entirely")
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 ROOT = _ARGS.root
@@ -71,22 +82,20 @@ def make_data():
         log(stage="data", note="exists, reusing")
         return
     t0 = time.time()
-    subprocess.run(
-        [
-            sys.executable,
-            os.path.join(os.path.dirname(__file__), "..", "scripts",
-                         "make_synthetic_benchmark.py"),
-            "--out", f"{ROOT}/data",
-            "--num-files", "3000",
-            "--premises-per-file", "43",
-            "--num-theorems", "20000",
-            "--max-steps", "5",
-            "--mathlib-lengths",
-            "--min-accessible", "200",
-        ],
-        check=True,
-    )
-    log(stage="data", seconds=round(time.time() - t0, 1))
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "make_synthetic_benchmark.py"),
+        "--out", f"{ROOT}/data",
+        "--num-files", "3000",
+        "--premises-per-file", "43",
+        "--num-theorems", "20000",
+        "--max-steps", "5",
+        "--min-accessible", "200",
+    ]
+    cmd += ["--hard"] if _ARGS.hard else ["--mathlib-lengths"]
+    subprocess.run(cmd, check=True)
+    log(stage="data", hard=_ARGS.hard, seconds=round(time.time() - t0, 1))
 
 
 def main():
@@ -110,12 +119,7 @@ def main():
         retrieval_loss,
     )
 
-    cfg = T5Config(
-        d_model=256, d_kv=32, d_ff=1024, num_heads=8,
-        num_encoder_layers=4, num_decoder_layers=4,
-        compute_dtype=jnp.bfloat16, remat=False,
-    )
-    icfg = dataclasses.replace(cfg, flash_encoder=True)
+    cfg, icfg = model_cfgs()
 
     # ---------------- retriever: train with an R@k curve ----------------
     dm = RetrievalDataModule(
@@ -125,7 +129,10 @@ def main():
     )
     dm.setup("fit")
     log(stage="retrieval_data", train=len(dm.ds_train), val=len(dm.ds_val),
-        premises=len(dm.corpus))
+        premises=len(dm.corpus), rag=_ARGS.rag)
+
+    if _ARGS.rag in ("none", "oracle", "random"):
+        return run_ablation(dm)
 
     if _ARGS.init_hf:
         from reprover_tpu.models import load_hf_t5
@@ -197,15 +204,43 @@ def main():
     save_predictions(outputs, preds_path)
     log(stage="predict", records=len(outputs), seconds=round(time.time() - t0, 1))
 
-    # ---------------- retrieval-augmented generator ----------------
+    # ---------------- retrieval-augmented generator + prover ----------
+    from reprover_tpu.prover import (
+        LocalTacticGenerator,
+        RetrievalAugmentedTacticGenerator,
+    )
+
+    generator_and_prover(
+        preds_path,
+        lambda gen_model: RetrievalAugmentedTacticGenerator(
+            LocalTacticGenerator(gen_model), retriever,
+            max_inp_seq_len=SEQ, max_num_retrieved=NUM_RETRIEVED,
+        ),
+        tag="trained",
+    )
+
+
+def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
+    """Generator fine-tune (optionally premise-augmented) then Pass@1."""
     from reprover_tpu.generation.datamodule import GeneratorDataModule
     from reprover_tpu.generation.generator import TacticGeneratorModel
     from reprover_tpu.generation.validate import validation_metrics as gen_val
+    from reprover_tpu.models.t5 import init_params
+    from reprover_tpu.prover import environment_from_dataset, evaluate
+    from reprover_tpu.training import (
+        generation_loss,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+        numeric_batch,
+    )
 
+    cfg, icfg = model_cfgs()
     gdm = GeneratorDataModule(
         data_path=DATA, batch_size=8, eval_batch_size=8,
         max_inp_seq_len=SEQ, max_oup_seq_len=64, p_drop=0.5,
-        corpus_path=CORPUS, preds_path=preds_path,
+        corpus_path=CORPUS if preds_path else None,
+        preds_path=preds_path,
     )
     gdm.setup("fit")
     if _ARGS.init_hf:
@@ -226,8 +261,8 @@ def main():
             gstate, gloss = gstep(gstate, numeric_batch(batch))
             n += 1
             if n % 200 == 0:
-                log(stage="generation_train", step=n, loss=float(gloss),
-                    sps=round(n / (time.time() - t0), 2))
+                log(stage="generation_train", rag=tag, step=n,
+                    loss=float(gloss), sps=round(n / (time.time() - t0), 2))
             if n >= GEN_STEPS:
                 done = True
                 break
@@ -236,31 +271,128 @@ def main():
         gstate.params, icfg, max_inp_seq_len=SEQ, max_oup_seq_len=64
     )
     gm = gen_val(gen_model, gdm.val_dataloader(), num_beams=4, limit_batches=8)
-    log(stage="generation_eval", **{k: round(v, 4) for k, v in gm.items()})
+    log(stage="generation_eval", rag=tag,
+        **{k: round(v, 4) for k, v in gm.items()})
 
     # ---------------- prover: Pass@1 on val ----------------
-    from reprover_tpu.prover import (
-        LocalTacticGenerator,
-        RetrievalAugmentedTacticGenerator,
-        environment_from_dataset,
-        evaluate,
-    )
-
     with open(f"{DATA}/val.json") as f:
         val = json.load(f)
     env = environment_from_dataset(val)
-    tac_gen = RetrievalAugmentedTacticGenerator(
-        LocalTacticGenerator(gen_model), retriever,
-        max_inp_seq_len=SEQ, max_num_retrieved=NUM_RETRIEVED,
-    )
+    tac_gen = make_tac_gen(gen_model)
     t0 = time.time()
     pass_1 = evaluate(
         DATA, env, tac_gen,
         split="val", num_theorems=200, num_sampled_tactics=8,
         timeout=120, max_expansions=10, num_workers=1,
     )
-    log(stage="prover", pass_1=round(pass_1, 4),
+    log(stage="prover", rag=tag, pass_1=round(pass_1, 4),
         minutes=round((time.time() - t0) / 60, 1))
+    return pass_1
+
+
+def model_cfgs():
+    from reprover_tpu.models.t5 import T5Config
+
+    cfg = T5Config(
+        d_model=256, d_kv=32, d_ff=1024, num_heads=8,
+        num_encoder_layers=4, num_decoder_layers=4,
+        compute_dtype=jnp.bfloat16, remat=False,
+    )
+    return cfg, dataclasses.replace(cfg, flash_encoder=True)
+
+
+class _MapAugmentedGenerator:
+    """Bench-local TacticGenerator: augment with a fixed state->premises map
+    (oracle = ground-truth positives) or random premises (broken-retriever
+    control) — the retriever-quality ablation's endpoints."""
+
+    def __init__(self, gen, state_map, all_premises, mode: str) -> None:
+        import random as _random
+
+        self.gen = gen
+        self.state_map = state_map
+        self.all_premises = all_premises
+        self.mode = mode
+        self.rng = _random.Random(1234)
+
+    def initialize(self) -> None:
+        self.gen.initialize()
+
+    async def generate(self, state, file_path, theorem_full_name,
+                       theorem_pos, num_samples):
+        from reprover_tpu.data import format_augmented_state
+
+        if self.mode == "oracle":
+            premises = self.state_map.get(state, [])
+        else:
+            premises = self.rng.sample(self.all_premises, 8)
+        aug = format_augmented_state(state, list(premises), SEQ)
+        return await self.gen.generate(
+            aug, file_path, theorem_full_name, theorem_pos, num_samples
+        )
+
+
+def run_ablation(dm) -> None:
+    """rag in {none, oracle, random}: no retriever training at all."""
+    from reprover_tpu.prover import LocalTacticGenerator
+    from reprover_tpu.retrieval.datamodule import RetrievalDataModule
+    from reprover_tpu.retrieval.prediction import save_predictions
+
+    mode = _ARGS.rag
+    preds_path = None
+    state_map: dict = {}
+    if mode in ("oracle", "random"):
+        import random as _random
+
+        rng = _random.Random(7)
+        pred_dm = RetrievalDataModule(
+            data_path=DATA, corpus_path=CORPUS,
+            num_negatives=3, num_in_file_negatives=1,
+            batch_size=8, eval_batch_size=64, max_seq_len=SEQ,
+        )
+        pred_dm.corpus = dm.corpus
+        pred_dm.setup("predict")
+        allp = dm.corpus.all_premises
+        outputs = []
+        t0 = time.time()
+        for batch in pred_dm.predict_dataloader():
+            for i in range(len(batch["context"])):
+                ctx = batch["context"][i]
+                pos = list(batch["all_pos_premises"][i])
+                if mode == "oracle":
+                    fill = rng.sample(allp, NUM_RETRIEVED)
+                    retrieved = (pos + [p for p in fill if p not in pos])[
+                        :NUM_RETRIEVED
+                    ]
+                else:
+                    retrieved = rng.sample(allp, NUM_RETRIEVED)
+                state_map.setdefault(ctx.state, pos)
+                outputs.append({
+                    "url": batch["url"][i],
+                    "commit": batch["commit"][i],
+                    "file_path": batch["file_path"][i],
+                    "full_name": batch["full_name"][i],
+                    "start": batch["start"][i],
+                    "tactic_idx": batch["tactic_idx"][i],
+                    "context": ctx,
+                    "all_pos_premises": pos,
+                    "retrieved_premises": retrieved,
+                    "scores": list(map(float, range(len(retrieved), 0, -1))),
+                })
+        preds_path = f"{ROOT}/predictions_{mode}.pickle"
+        save_predictions(outputs, preds_path)
+        log(stage="fake_predict", mode=mode, records=len(outputs),
+            seconds=round(time.time() - t0, 1))
+
+    def make_tac_gen(gen_model):
+        local = LocalTacticGenerator(gen_model)
+        if mode == "none":
+            return local
+        return _MapAugmentedGenerator(
+            local, state_map, dm.corpus.all_premises, mode
+        )
+
+    generator_and_prover(preds_path, make_tac_gen, tag=mode)
 
 
 if __name__ == "__main__":

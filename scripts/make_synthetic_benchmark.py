@@ -27,6 +27,31 @@ logger = logging.getLogger(__name__)
 
 OPS = ["+", "*", "⊓", "⊔", "∘"]
 NOUNS = ["add", "mul", "inf", "sup", "comp"]
+VARS = "xyzuvw"
+
+
+def _pattern(rng: random.Random) -> str:
+    """A distinctive structural equation (the premise's retrievable key)."""
+    a = f"{rng.choice(VARS)}{rng.randrange(20)}"
+    b = f"{rng.choice(VARS)}{rng.randrange(20)}"
+    c = f"{rng.choice(VARS)}{rng.randrange(20)}"
+    op1, op2 = rng.choice(OPS), rng.choice(OPS)
+    n = f"{rng.choice(NOUNS)}_{rng.randrange(50)}"
+    return f"{a} {op1} ({b} {op2} {c}) = ({a} {op1} {b}) {op2} {n} {c}"
+
+
+def _perturb(pattern: str, rng: random.Random) -> str:
+    """A near-duplicate: exactly one token differs (distractor family)."""
+    toks = pattern.split(" ")
+    # mutable positions: operators and the noun (keep the equation shape)
+    idxs = [i for i, t in enumerate(toks) if t in OPS or "_" in t]
+    i = rng.choice(idxs)
+    if toks[i] in OPS:
+        toks[i] = rng.choice([o for o in OPS if o != toks[i]])
+    else:
+        noun = toks[i].split("_")[0]
+        toks[i] = f"{noun}_{rng.randrange(50, 99)}"
+    return " ".join(toks)
 
 
 def _premise(fi: int, k: int, rng: random.Random, mathlib_lengths: bool = False):
@@ -62,12 +87,37 @@ def _premise(fi: int, k: int, rng: random.Random, mathlib_lengths: bool = False)
     }
 
 
+def _premise_hard(
+    fi: int, k: int, pattern: str, rng: random.Random,
+) -> dict:
+    """Hard-mode premise: OPAQUE name + the pattern as the code body.
+
+    The name shares no tokens with the pattern, so a generator can emit
+    ``rw [name]`` only by reading the premise text (retrieval-augmented
+    input) — the lever that makes Pass@1 depend causally on the retriever
+    (VERDICT round-3 ask #4; role of the reference's premise-conditioned
+    generation, `/root/reference/generation/model.py:212-262`)."""
+    name = f"Syn.f{fi}.lem_{k}_{rng.randrange(16**4):04x}"
+    short = name.split(".")[-1]
+    code = f"theorem {short} (x y z u v w : Nat) : {pattern} := by synth"
+    line = k * 4 + 1
+    return {
+        "full_name": name,
+        "start": [line, 1],
+        "end": [line + 2, 20],
+        "code": code,
+        "pattern": pattern,  # stripped before writing corpus.jsonl
+    }
+
+
 def make_corpus(
     path: str,
     n_files: int,
     per_file: int,
     seed: int,
     mathlib_lengths: bool = False,
+    hard: bool = False,
+    distractors: int = 4,
 ) -> list:
     rng = random.Random(seed)
     files = []
@@ -78,11 +128,33 @@ def make_corpus(
                 imports = sorted(
                     {f"Syn/F{j}.lean" for j in rng.sample(range(i), min(3, i))}
                 )
-            premises = [
-                _premise(i, k, rng, mathlib_lengths) for k in range(per_file)
-            ]
-            rec = {"path": f"Syn/F{i}.lean", "imports": imports, "premises": premises}
-            files.append(rec)
+            if hard:
+                # premises come in near-duplicate families co-located in
+                # the file: every retrieval query sees the full family
+                premises = []
+                k = 0
+                while k < per_file:
+                    base = _pattern(rng)
+                    fam = min(distractors, per_file - k)
+                    pats = [base] + [_perturb(base, rng) for _ in range(fam - 1)]
+                    for p in pats:
+                        premises.append(_premise_hard(i, k, p, rng))
+                        k += 1
+            else:
+                premises = [
+                    _premise(i, k, rng, mathlib_lengths) for k in range(per_file)
+                ]
+            rec = {
+                "path": f"Syn/F{i}.lean",
+                "imports": imports,
+                "premises": [
+                    {kk: v for kk, v in p.items() if kk != "pattern"}
+                    for p in premises
+                ],
+            }
+            files.append(
+                {"path": rec["path"], "imports": imports, "premises": premises}
+            )
             f.write(json.dumps(rec) + "\n")
     return files
 
@@ -93,6 +165,7 @@ def make_theorems(
     seed: int,
     max_steps: int = 3,
     min_accessible: int = 0,
+    hard: bool = False,
 ) -> list:
     """Theorems proved by applying 1..max_steps premises from imported files.
 
@@ -100,6 +173,11 @@ def make_theorems(
     closure holds at least that many premises — needed when evaluating with
     the reference's ``num_retrieved=100`` (retrieval errors on queries with
     fewer than k accessible premises, `common.py:323-324`).
+
+    ``hard`` states show each step's goal as the needed premise's PATTERN
+    (never its name) and proofs run 2..max_steps deep, so the recorded
+    tactic ``rw [opaque_name]`` is predictable only from retrieved premise
+    text — un-saturating the benchmark (easy mode: generator Top-1 = 1.00).
     """
     rng = random.Random(seed + 1)
     # transitive imports per file (files are topologically ordered)
@@ -141,23 +219,40 @@ def make_theorems(
     for t in range(n_theorems):
         host = files[host_choices[t]]
         candidates = candidates_for(host["path"])
-        steps = rng.randint(1, max_steps)
+        steps = rng.randint(2 if hard else 1, max_steps)
         used = rng.sample(candidates, min(steps, len(candidates)))
         name = f"Syn.thm_{t}"
+
+        def hard_state(s: int) -> str:
+            # the goal shows the REMAINING patterns (current first); the
+            # premise name appears nowhere — only its structural key
+            pats = [p["pattern"] for p in used[s:]]
+            shown = pats[:2]  # byte budget: current + one lookahead
+            more = len(pats) - len(shown)
+            lines = [f"case syn_{t}_{s}", "x y z u v w : Nat"]
+            lines += [f"⊢ {p}" for p in shown]
+            if more:
+                lines.append(f"-- {more} further goals")
+            return "\n".join(lines)
+
         goal_terms = " ".join(p["full_name"].split(".")[-1] for p in used)
         tactics = []
         for s, prem in enumerate(used):
             short = prem["full_name"].split(".")[-1]
-            before = (
-                f"a b : Nat\n⊢ goal_{t} step_{s} uses {goal_terms}"
-                if s == 0
-                else f"a b : Nat\n⊢ goal_{t} after_{s} uses {goal_terms}"
-            )
-            after = (
-                "no goals"
-                if s == len(used) - 1
-                else f"a b : Nat\n⊢ goal_{t} after_{s + 1} uses {goal_terms}"
-            )
+            if hard:
+                before = hard_state(s)
+                after = "no goals" if s == len(used) - 1 else hard_state(s + 1)
+            else:
+                before = (
+                    f"a b : Nat\n⊢ goal_{t} step_{s} uses {goal_terms}"
+                    if s == 0
+                    else f"a b : Nat\n⊢ goal_{t} after_{s} uses {goal_terms}"
+                )
+                after = (
+                    "no goals"
+                    if s == len(used) - 1
+                    else f"a b : Nat\n⊢ goal_{t} after_{s + 1} uses {goal_terms}"
+                )
             tactics.append(
                 {
                     "tactic": f"rw [{short}]",
@@ -249,6 +344,19 @@ def main() -> None:
         default=0,
         help="host theorems only in files with >= this many accessible premises",
     )
+    parser.add_argument(
+        "--hard",
+        action="store_true",
+        help="un-saturated mode: opaque premise names, pattern-keyed goals "
+        "(tactic predictable only from retrieved premise text), "
+        "near-duplicate distractor families, 2..max-steps-deep proofs",
+    )
+    parser.add_argument(
+        "--distractors",
+        type=int,
+        default=4,
+        help="hard mode: near-duplicate family size (same file)",
+    )
     args = parser.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -259,6 +367,8 @@ def main() -> None:
         args.premises_per_file,
         args.seed,
         mathlib_lengths=args.mathlib_lengths,
+        hard=args.hard,
+        distractors=args.distractors,
     )
     theorems = make_theorems(
         files,
@@ -266,6 +376,7 @@ def main() -> None:
         args.seed,
         max_steps=args.max_steps,
         min_accessible=args.min_accessible,
+        hard=args.hard,
     )
     with open(os.path.join(args.out, "metadata.json"), "w") as f:
         json.dump(
