@@ -136,12 +136,13 @@ def causal_budget() -> dict:
 
     res = {}
 
-    # total: the production step (gather_reorder matches the engine's
-    # platform gate).  params rides as a jit ARGUMENT — closed-over arrays
-    # would be embedded in the HLO as constants and the axon remote-compile
-    # upload rejects bodies that large (HTTP 413).
+    # total: the production step (round 4: the engines run the one-hot
+    # einsum reorder everywhere — measured 2x the Pallas gather).  params
+    # rides as a jit ARGUMENT — closed-over arrays would be embedded in the
+    # HLO as constants and the axon remote-compile upload rejects bodies
+    # that large (HTTP 413).
     def full_step(st, prm):
-        return causal_engine_step(prm, cfg, st, 0.0, gather_reorder=on_tpu)
+        return causal_engine_step(prm, cfg, st, 0.0)
 
     res["step_total_ms"] = time_program(full_step, state, params)
 
@@ -179,13 +180,6 @@ def causal_budget() -> dict:
 
     def reorder_only(st):
         pos = st.n - 1
-        if on_tpu:
-            from reprover_tpu.ops.beam_reorder import reorder_append_gather
-
-            dec_k, dec_v = reorder_append_gather(
-                st.dec_k, st.dec_v, k_new, k_new, parent, frozen0, pos
-            )
-            return dataclasses.replace(st, dec_k=dec_k, dec_v=dec_v)
         return dataclasses.replace(
             st,
             dec_k=reorder_append(st.dec_k, k_new, parent, frozen0, pos),
@@ -252,7 +246,7 @@ def t5_budget() -> dict:
     res = {}
 
     def full_step(st, prm):
-        return engine_step(prm, cfg, st, 0.0, gather_reorder=on_tpu)
+        return engine_step(prm, cfg, st, 0.0)
 
     res["step_total_ms"] = time_program(full_step, state, params)
 
@@ -287,13 +281,6 @@ def t5_budget() -> dict:
 
     def reorder_only(st):
         pos = st.n - 1
-        if on_tpu:
-            from reprover_tpu.ops.beam_reorder import reorder_append_gather
-
-            self_k, self_v = reorder_append_gather(
-                st.self_k, st.self_v, k_new, k_new, parent, frozen0, pos
-            )
-            return dataclasses.replace(st, self_k=self_k, self_v=self_v)
         return dataclasses.replace(
             st,
             self_k=reorder_append(st.self_k, k_new, parent, frozen0, pos),

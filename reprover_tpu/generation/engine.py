@@ -506,10 +506,14 @@ class StepwiseEngineBase:
         raise NotImplementedError
 
     def _use_gather_reorder(self) -> bool:
-        """Pallas gather for the per-beam cache reorder: single-device TPU
-        only (under a TP mesh the caches are sharded over heads and the
-        einsum path stays — GSPMD partitions it; trace-time decision)."""
-        return self.mesh is None and jax.devices()[0].platform == "tpu"
+        """The per-beam cache reorder runs the one-hot einsum everywhere:
+        measured round 4 at the engine shapes (benchmarks/
+        reorder_microbench.py, real v5e), the einsum moves both caches at
+        ~300 GB/s effective vs the Pallas scalar-prefetch gather's 157 —
+        2x — and it is the same program GSPMD partitions under a TP mesh.
+        The gather kernel stays available via ``engine_step(...,
+        gather_reorder=True)`` for re-measurement on future hardware."""
+        return False
 
     def _admit_program(
         self, params: Params, state: Any, slots: Any, ids: Any, mask: Any

@@ -5,15 +5,16 @@ the continuation parents and install the step's fresh (lazy-append) column
 (`reprover_tpu/generation/engine.py::reorder_append` — the vLLM
 beam-fork role, `/root/reference/prover/proof_search.py:332-366`).
 
-The einsum formulation (one-hot matmul) compiles to a layout copy +
-convolution + layout copy on TPU — ~3x the minimum HBM traffic (measured
-267 GB/s effective, `benchmarks/reorder_microbench.py`). A permutation is
-a gather, and the TPU-native gather is a scalar-prefetched Pallas kernel:
-the parent table arrives ahead of the grid so each output block's input
-DMA is issued directly from ``parent[s, k]`` — one contiguous [L, H, T, d]
-block read + one write per beam row, nothing else. The fresh column is
-installed by the same pass via a ``where`` on the T axis (it rides the
-store, not an extra sweep).
+STATUS (round 4): NOT the production path anymore. Honest re-measurement
+with both caches chained through the loop carry (the earlier microbench
+let XLA dead-code-eliminate the v half) puts this kernel at ~157 GB/s
+effective vs the one-hot einsum's ~300 at the exact engine shape
+[8,8,64,8,128,64] on a real v5e — the einsum is 2x faster AND is the same
+program GSPMD partitions under a TP mesh, so the engines now use it
+everywhere (`StepwiseEngineBase._use_gather_reorder` returns False). The
+kernel is kept as an alternative (`engine_step(..., gather_reorder=True)`)
+because its cost model is different (pure per-row DMA, no MXU) and may win
+on other hardware generations; re-measure before re-enabling.
 
 Exactness: identical to the einsum path (`tests/test_beam_reorder.py`
 compares both, plus interpret-mode CPU runs). Like the einsum path, the
