@@ -367,8 +367,16 @@ def main() -> None:
     )
     # State donated like the production engine jit — without it the
     # footprint counts a dead input copy of every KV cache.
+    # Production path (round 4): one-hot einsum reorder everywhere.
     check(
         "t5_engine_step",
+        lambda p, s: engine_step(p, cfg, s, 0.0),
+        params, state, donate=(1,),
+    )
+    # The Pallas gather-reorder kernel stays available (gather_reorder=True)
+    # — keep its Mosaic compile covered at the engine shape.
+    check(
+        "t5_engine_step_gather_kernel",
         lambda p, s: engine_step(p, cfg, s, 0.0, gather_reorder=True),
         params, state, donate=(1,),
     )
@@ -386,7 +394,7 @@ def main() -> None:
     cstate = jax.eval_shape(lambda: init_causal_engine_state(ccfg, 8, 64, 512, 129))
     check(
         "causal_engine_step",
-        lambda p, s: causal_engine_step(p, ccfg, s, 0.0, gather_reorder=True),
+        lambda p, s: causal_engine_step(p, ccfg, s, 0.0),
         cparams, cstate, donate=(1,),
     )
 
@@ -417,7 +425,7 @@ def main() -> None:
     try:
         check(
             "causal7b_int8_engine_step",
-            lambda p, s: causal_engine_step(p, b7, s, 0.0, gather_reorder=True),
+            lambda p, s: causal_engine_step(p, b7, s, 0.0),
             q7, s7, donate=(1,),
         )
         # The admission program at a FULL wave (A = num_slots) hits the
@@ -444,7 +452,7 @@ def main() -> None:
     # chipless target). int8 compiles at args 9.42 + temps 4.31 GB.
     check(
         "causal7b_bf16_engine_step",
-        lambda p, s: causal_engine_step(p, b7, s, 0.0, gather_reorder=True),
+        lambda p, s: causal_engine_step(p, b7, s, 0.0),
         p7, s7, donate=(1,), expect_oom=True,
     )
 

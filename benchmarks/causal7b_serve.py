@@ -155,8 +155,9 @@ def time_step(cfg, params, tag: str) -> None:
         n=jnp.full((S,), _ARGS.fill, jnp.int32),
         done=jnp.zeros((S,), bool),
     )
-    # single-device TPU ⇒ the engine uses the Pallas gather reorder
-    gather = jax.devices()[0].platform == "tpu"
+    # round 4: the production reorder is the one-hot einsum everywhere
+    # (measured 2x the Pallas gather at engine shapes — BASELINE.md)
+    gather = False
     del eng  # the donated carry below invalidates the engine's state refs
 
     # params MUST be an argument, not a closure: jit would capture the
