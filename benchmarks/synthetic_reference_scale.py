@@ -54,6 +54,10 @@ _ap.add_argument("--hard", action="store_true",
                  help="un-saturated benchmark (opaque premise names, "
                  "pattern-keyed goals, distractor families, deeper proofs "
                  "— scripts/make_synthetic_benchmark.py --hard)")
+_ap.add_argument("--geometry", default="d256", choices=["d256", "byt5"],
+                 help="model geometry: d256 (from-scratch-learnable, the "
+                 "quality-run default) or byt5 (flagship google/byt5-small "
+                 "~300M — pair with --init-hf from a flagship pretrain)")
 _ap.add_argument("--rag", default="trained",
                  choices=["trained", "none", "oracle", "random"],
                  help="retrieval-quality ablation: trained retriever / no "
@@ -291,8 +295,19 @@ def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
 
 
 def model_cfgs():
-    from reprover_tpu.models.t5 import T5Config
+    from reprover_tpu.models.t5 import T5Config, byt5_small
 
+    if _ARGS.geometry == "byt5":
+        # flagship: remat mandatory on 16 GB v5e; flash fwd+bwd eligible
+        on_tpu = jax.default_backend() == "tpu"
+        cfg = byt5_small(
+            compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            remat=True, remat_policy="lite",
+            flash_encoder=on_tpu, flash_decoder=on_tpu,
+        )
+        return cfg, dataclasses.replace(
+            cfg, remat=False, unroll_encoder=on_tpu
+        )
     cfg = T5Config(
         d_model=256, d_kv=32, d_ff=1024, num_heads=8,
         num_encoder_layers=4, num_decoder_layers=4,
