@@ -22,6 +22,10 @@ run() {
 
 run 7b_int8_einsum python benchmarks/causal7b_serve.py
 
+# retrieval + generation train steps at reference configs, healthy-tunnel
+# re-measure (round-3 rows were taken in the degraded window)
+run train_steps python benchmarks/train_step_flash.py
+
 run pretrain_byt5 python -m reprover_tpu.training.pretrain fit \
   --data.data_path "$ROOT/data/corpus.jsonl" --data.batch_size "$BS" \
   --trainer.max_steps "$STEPS" --trainer.val_interval 3000 \
