@@ -59,3 +59,19 @@ def test_gather_frozen_slot_keeps_rows():
     np.testing.assert_array_equal(
         np.asarray(got_v)[:, :, :, :, :3], np.asarray(v_cache)[:, :, :, :, :3]
     )
+
+
+def test_production_reorder_is_einsum_everywhere():
+    """Round-4 measurement: the one-hot einsum moves both caches ~2x faster
+    than the Pallas gather at engine shapes on v5e (BASELINE.md). The
+    engines must default to the einsum path on every platform/mesh; the
+    gather kernel stays opt-in via engine_step(gather_reorder=True). If
+    this is ever flipped back, re-measure with
+    benchmarks/reorder_microbench.py first."""
+    from reprover_tpu.generation.engine import StepwiseEngineBase
+
+    class _Probe(StepwiseEngineBase):
+        def __init__(self):  # skip device-program construction
+            self.mesh = None
+
+    assert _Probe()._use_gather_reorder() is False
