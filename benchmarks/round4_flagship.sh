@@ -26,9 +26,12 @@ run 7b_int8_einsum python benchmarks/causal7b_serve.py
 # re-measure (round-3 rows were taken in the degraded window)
 run train_steps python benchmarks/train_step_flash.py
 
+# time_limit_s stops fit() gracefully (export still runs) well before the
+# external timeout would kill the process and drop the whole run.
 run pretrain_byt5 python -m reprover_tpu.training.pretrain fit \
   --data.data_path "$ROOT/data/corpus.jsonl" --data.batch_size "$BS" \
   --trainer.max_steps "$STEPS" --trainer.val_interval 3000 \
+  --trainer.time_limit_s "${FLAGSHIP_BUDGET_S:-12000}" \
   --export_dir "$EXPORT"
 
 run flagship_finetune python benchmarks/synthetic_reference_scale.py --hard \

@@ -42,6 +42,11 @@ class TrainerConfig:
     patience: int = 5  # early-stopping checks without improvement
     ckpt_dir: Optional[str] = None
     resume: bool = False
+    # Graceful wall-clock budget (Lightning `Trainer(max_time=...)` parity):
+    # fit() stops after the first train step that crosses the limit, so the
+    # final validation/checkpoint/export still run — unlike an external
+    # `timeout` kill, which would drop everything since the last save.
+    time_limit_s: Optional[float] = None
 
 
 class Trainer:
@@ -76,7 +81,8 @@ class Trainer:
 
         best = -math.inf if cfg.monitor_mode == "max" else math.inf
         checks_since_improvement = 0
-        t_last = time.monotonic()
+        t_start = time.monotonic()
+        t_last = t_start
         done = False
 
         while not done:
@@ -126,6 +132,17 @@ class Trainer:
                     # steps_per_sec window (it covers train steps only).
                     t_last = time.monotonic()
                 if step >= cfg.max_steps:
+                    done = True
+                    break
+                if (
+                    cfg.time_limit_s is not None
+                    and time.monotonic() - t_start >= cfg.time_limit_s
+                ):
+                    logger.info(
+                        "time limit reached (%.0fs) at step %d — stopping",
+                        cfg.time_limit_s,
+                        step,
+                    )
                     done = True
                     break
             if not epoch_had_batches:

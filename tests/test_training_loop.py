@@ -148,6 +148,18 @@ class TestTrainer:
         # val at steps 5,10,15: improvement at 5, flat at 10 and 15 -> stop
         assert int(np.asarray(final.step)) == 15
 
+    def test_time_limit_stops_gracefully(self, tmp_path):
+        # time_limit_s=0 crosses the budget after the first step; fit must
+        # stop there AND still run the final validation + checkpoint save
+        # (the graceful half that an external `timeout` kill would drop).
+        trainer, state, loader, writer = self._make(
+            tmp_path, patience=99, max_steps=1000, metric_seq=[1, 2, 3]
+        )
+        trainer.config.time_limit_s = 0.0
+        final = trainer.fit(state, loader)
+        assert int(np.asarray(final.step)) == 1
+        assert trainer.ckpt is not None and trainer.ckpt.latest_step() == 1
+
     def test_checkpoint_restore(self, tmp_path):
         trainer, state, loader, writer = self._make(
             tmp_path, patience=99, max_steps=10, metric_seq=[1, 2]
