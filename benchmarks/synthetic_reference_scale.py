@@ -335,13 +335,15 @@ class _MapAugmentedGenerator:
 
     async def generate(self, state, file_path, theorem_full_name,
                        theorem_pos, num_samples):
-        from reprover_tpu.data import format_augmented_state
+        from reprover_tpu.data import format_augmented_state, remove_marks
 
         if self.mode == "oracle":
             premises = self.state_map.get(state, [])
         else:
             premises = self.rng.sample(self.all_premises, 8)
-        aug = format_augmented_state(state, list(premises), SEQ)
+        # remove_marks: match the training input distribution (the generator
+        # datamodule strips <a> marks; see RetrievalAugmentedTacticGenerator).
+        aug = remove_marks(format_augmented_state(state, list(premises), SEQ))
         return await self.gen.generate(
             aug, file_path, theorem_full_name, theorem_pos, num_samples
         )

@@ -197,7 +197,7 @@ class InferenceService:
     def _augment(self, group: List[GenerateRequest]) -> List[str]:
         """Batched retrieve + premise packing (`tactic_generator.py:286-295`),
         one device round for the whole group."""
-        from reprover_tpu.data import Context, format_augmented_state
+        from reprover_tpu.data import Context, format_augmented_state, remove_marks
 
         contexts = [
             Context(
@@ -210,8 +210,11 @@ class InferenceService:
         ]
         premises, _ = self.retriever.retrieve_batch(contexts, self.max_num_retrieved)
         max_len = self.generator.max_inp_seq_len
+        # remove_marks: match the generator's training input distribution
+        # (see RetrievalAugmentedTacticGenerator.generate for the measured
+        # train/search skew behind this).
         return [
-            format_augmented_state(r.state, prems, max_len)
+            remove_marks(format_augmented_state(r.state, prems, max_len))
             for r, prems in zip(group, premises)
         ]
 

@@ -192,7 +192,17 @@ class RetrievalAugmentedTacticGenerator(TacticGenerator):
         premises, _ = self.retriever.retrieve(
             state, file_path, theorem_full_name, theorem_pos, self.max_num_retrieved
         )
-        aug = format_augmented_state(state, premises, self.max_inp_seq_len)
+        # remove_marks matches the training input distribution: the generator
+        # datamodule strips ``<a>`` premise marks from the augmented state
+        # (`/root/reference/generation/datamodule.py:79`), but the reference's
+        # search path feeds the marked string to the model
+        # (`/root/reference/prover/tactic_generator.py:293`) — a train/search
+        # skew its pretrained byt5 init happens to tolerate. Measured here:
+        # a from-scratch model at 80% step accuracy on (mark-free) val inputs
+        # proved 0/200 theorems through the marked path.
+        aug = remove_marks(
+            format_augmented_state(state, premises, self.max_inp_seq_len)
+        )
         return await self.gen.generate(
             aug, file_path, theorem_full_name, theorem_pos, num_samples
         )

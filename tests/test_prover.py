@@ -236,6 +236,43 @@ class TestBestFirstSearch:
         prover = BestFirstSearchProver(gen, env, 60, None, 4)
         assert prover.search(thm("goal"), Pos(1, 1)) is None
 
+    def test_rag_generator_strips_marks_from_augmented_state(self):
+        # The generator trains on mark-free augmented states
+        # (generation/datamodule.py strips <a>/</a>); the search path must
+        # match that distribution. Regression for the train/search skew that
+        # took a Top-1=1.0 generator to Pass@1=0 on the hard benchmark.
+        from reprover_tpu.data import Premise
+        from reprover_tpu.prover import RetrievalAugmentedTacticGenerator
+
+        premise = Premise(
+            "f.lean", "Ns.lemma_a", [1, 1], [2, 1],
+            "theorem lemma_a : 1 = 1 := rfl",
+        )
+        assert "<a>" in premise.serialize()  # the skew's ingredient
+
+        class StubRetriever:
+            def retrieve(self, state, file_path, full_name, pos, k):
+                return [premise], [1.0]
+
+        class CapturingGen(TacticGenerator):
+            def __init__(self):
+                self.seen = []
+
+            async def generate(self, state, *args):
+                self.seen.append(state)
+                return [("rfl", 0.0)]
+
+        inner = CapturingGen()
+        rag = RetrievalAugmentedTacticGenerator(
+            inner, StubRetriever(), max_inp_seq_len=1024
+        )
+        asyncio.run(
+            rag.generate("⊢ 1 = 1", "d.lean", "t", Pos(1, 1), 4)
+        )
+        (aug,) = inner.seen
+        assert "<a>" not in aug and "</a>" not in aug
+        assert "Ns.lemma_a" in aug and aug.endswith("⊢ 1 = 1")
+
     def test_fixed_tactic_generator_wraps_in_braces(self):
         env = FakeEnvironment(
             init_states={"goal": "⊢ G"},
