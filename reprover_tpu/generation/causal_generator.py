@@ -30,7 +30,10 @@ from reprover_tpu.models.causal_lm import (
     prefill,
 )
 
-GOAL_TEMPLATE = "[GOAL]\n%s\n[PROOFSTEP]\n"
+# Single source of truth with the fine-tuning data exporter: the serving
+# prompt must match the training instruction byte-for-byte (the measured
+# train/search-skew class — see RetrievalAugmentedTacticGenerator.generate).
+from reprover_tpu.generation.preprocess import TEMPLATE as GOAL_TEMPLATE
 
 
 def _round_up(n: int, multiple: int) -> int:
