@@ -8,6 +8,8 @@ __all__ = [
     "beam_search",
     "TacticGeneratorModel",
     "CausalTacticGeneratorModel",
+    "CausalGeneratorDataModule",
+    "TacticBpeTokenizer",
 ]
 
 
@@ -20,4 +22,14 @@ def __getattr__(name: str) -> object:
         )
 
         return CausalTacticGeneratorModel
+    if name == "CausalGeneratorDataModule":
+        from reprover_tpu.generation.causal_datamodule import (
+            CausalGeneratorDataModule,
+        )
+
+        return CausalGeneratorDataModule
+    if name == "TacticBpeTokenizer":
+        from reprover_tpu.generation.bpe_tokenizer import TacticBpeTokenizer
+
+        return TacticBpeTokenizer
     raise AttributeError(name)

@@ -83,3 +83,50 @@ def validation_metrics(
         for k in range(num_beams):
             metrics[f"top{k + 1}_acc_val"] = float(correct[k]) / total
     return metrics
+
+
+def causal_validation_metrics(
+    model: Any,  # CausalTacticGeneratorModel
+    loader: Iterable[Dict[str, Any]],
+    num_beams: int = 1,
+    limit_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Decoder-only counterpart of ``validation_metrics``: teacher-forced
+    ``causal_lm_loss`` on ``CausalGeneratorDataModule`` batches + the same
+    beam-search Top-k exact-match accuracy (the reference delegates this
+    family's evaluation to LLaMA-Factory; in-framework here)."""
+    from reprover_tpu.models.causal_lm import causal_lm_loss
+
+    losses = []
+    correct = np.zeros(num_beams, dtype=np.int64)
+    total = 0
+    for i, batch in enumerate(loader):
+        if limit_batches is not None and i >= limit_batches:
+            break
+        losses.append(
+            float(
+                causal_lm_loss(
+                    model.params,
+                    model.cfg,
+                    jnp.asarray(batch["input_ids"]),
+                    jnp.asarray(batch["attention_mask"]),
+                    jnp.asarray(batch["labels"]),
+                )
+            )
+        )
+        if num_beams > 0:
+            candidates = model.generate(batch["state"], num_beams)
+            for cands, target in zip(candidates, batch["tactic"]):
+                texts = [remove_marks(t) for t, _ in cands]
+                tgt = remove_marks(target)
+                for k in range(num_beams):
+                    if tgt in texts[: k + 1]:
+                        correct[k:] += 1
+                        break
+                total += 1
+
+    metrics: Dict[str, float] = {"loss_val": float(np.mean(losses)) if losses else 0.0}
+    if total:
+        for k in range(num_beams):
+            metrics[f"top{k + 1}_acc_val"] = float(correct[k]) / total
+    return metrics
