@@ -29,6 +29,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from reprover_tpu.data.corpus import Corpus
 from reprover_tpu.generation.datamodule import (
     GeneratorDataset,
     load_preds,
@@ -50,8 +51,8 @@ class CausalGeneratorDataset(GeneratorDataset):
     def __init__(
         self,
         data_path: str,
-        corpus,
-        preds,
+        corpus: Optional[Corpus],
+        preds: Optional[Dict],
         tokenizer: Any,  # HF-shaped: __call__ -> {"input_ids": [...]}
         max_seq_len: int,
         p_drop: float,
