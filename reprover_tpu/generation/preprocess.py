@@ -48,7 +48,10 @@ def main() -> None:
     )
     parser.add_argument("--dst-path", type=str, default="state_tactic_pairs")
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
     for split in ("train", "val"):
         preprocess_split(
             os.path.join(args.data_path, f"{split}.json"),

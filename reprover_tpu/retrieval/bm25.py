@@ -282,7 +282,10 @@ def main() -> None:
     p_run.add_argument("--num-cpus", type=int, default=32)
 
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
     if args.cmd == "train-tokenizer":
         train_tokenizer(args.data_path, args.output_path, args.vocab_size)
     else:

@@ -64,7 +64,10 @@ def main() -> None:
     parser.add_argument("--preds-file", type=str, required=True)
     parser.add_argument("--data-path", type=str, required=True)
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
 
     from reprover_tpu.data.interop import load_reference_pickle
 

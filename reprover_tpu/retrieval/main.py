@@ -256,7 +256,10 @@ def run_predict(cfg: RetrievalConfig) -> None:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
     subcommand, cfg = parse_config(
         RetrievalConfig, argv if argv is not None else sys.argv[1:], links=LINKS
     )

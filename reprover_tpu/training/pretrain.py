@@ -403,7 +403,10 @@ def export(params: Dict, model_cfg: Any, out_dir: str) -> None:
 def main(argv: Optional[List[str]] = None) -> None:
     from reprover_tpu.utils.config import parse_config
 
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
     subcommand, cfg = parse_config(
         PretrainConfig, argv if argv is not None else sys.argv[1:]
     )

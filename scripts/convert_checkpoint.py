@@ -30,7 +30,10 @@ def main() -> None:
     parser.add_argument("--dst", type=str, required=True)
     parser.add_argument("--step", type=int, default=None)
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
 
     from reprover_tpu.models import init_params, load_hf_t5
     from reprover_tpu.models.hf_import import export_hf_t5

@@ -35,7 +35,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-path", type=str, default="data")
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
 
     os.makedirs(args.data_path, exist_ok=True)
     for url, hashcode in DOWNLOADS.items():

@@ -358,7 +358,10 @@ def main() -> None:
         help="hard mode: near-duplicate family size (same file)",
     )
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
 
     os.makedirs(args.out, exist_ok=True)
     files = make_corpus(

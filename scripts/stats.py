@@ -17,7 +17,10 @@ TOTAL_TIME_REGEX = re.compile(r"total_time=(?P<time>[0-9.eE+-]+)")
 
 
 def main() -> None:
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
     total_time = []
     for filename in glob(sys.argv[1]):
         logger.info(filename)

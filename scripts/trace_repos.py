@@ -16,7 +16,10 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-path", type=str, default="data")
     args = parser.parse_args()
-    logging.basicConfig(level=logging.INFO)
+    # force=True: the axon TPU plugin's backend init installs a root
+    # handler (absl) before main() runs, which would turn this into a
+    # no-op and silently drop all INFO progress logs on TPU.
+    logging.basicConfig(level=logging.INFO, force=True)
 
     from lean_dojo import LeanGitRepo, is_available_in_cache, trace
 
