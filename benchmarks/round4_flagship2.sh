@@ -24,10 +24,14 @@ run() {
 
 # time_limit_s stops fit() gracefully (export still runs) well before the
 # external timeout would kill the process and drop the whole run.
+# ckpt_dir + resume: a container restart already cost one full run of this
+# chain; with these, a rerun resumes from the last val_interval checkpoint
+# instead of starting over.
 run pretrain_byt5 python -m reprover_tpu.training.pretrain fit \
   --data.data_path "$ROOT/data/corpus.jsonl" --data.batch_size "$BS" \
   --trainer.max_steps "$STEPS" --trainer.val_interval 3000 \
   --trainer.time_limit_s "${FLAGSHIP_BUDGET_S:-7500}" \
+  --trainer.ckpt_dir /tmp/pretrain_byt5_ckpt --trainer.resume true \
   --export_dir "$EXPORT"
 
 run flagship_finetune python benchmarks/synthetic_reference_scale.py --hard \
