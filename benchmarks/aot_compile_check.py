@@ -505,6 +505,26 @@ def main() -> None:
         q13, s13, donate=(1,), arg_shardings=(pshard, sshard),
     )
 
+    # ---- 13B-class decoder on ONE chip via int4 -------------------- #
+    # Same geometry, single device, packed-int4 weights (Quant4Weight:
+    # two nibbles per byte along K, per-128-group scales, Pallas w4a16
+    # kernel for the big decode matmuls). Weights drop 25.4 GB bf16 ->
+    # ~6.4 GB packed + ~0.4 GB scales — the TP=2 requirement above
+    # becomes a one-chip deployment. FORCE_KERNEL=True for the same
+    # chipless-trace reason as the 7B int8 block.
+    q13_4 = jax.eval_shape(
+        functools.partial(quantize_causal_params, bits=4), p13
+    )
+    _qz.FORCE_KERNEL = True
+    try:
+        check(
+            "causal13b_int4_engine_step",
+            lambda p, s: causal_engine_step(p, b13, s, 0.0),
+            q13_4, s13, donate=(1,),
+        )
+    finally:
+        _qz.FORCE_KERNEL = None
+
     # ---- full training-step programs (reference configs) ----------- #
     # Compiled with the real donation set, so XLA's buffer assignment
     # reports the true HBM footprint (printed per check); compare

@@ -303,7 +303,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         chunk_size: int = 8,
         mesh: Any = None,
         step_buckets: Any = None,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> None:
         self.cfg = cfg
         if quantize:
@@ -315,9 +315,20 @@ class CausalStepwiseEngine(StepwiseEngineBase):
             # weight HBM — a 13B-class model on TP=2); under a mesh the
             # kernel routing is off (kernel_ok=False: a pallas_call can't
             # be GSPMD-partitioned) and the int8 dot partitions normally.
+            # quantize="int4": packed 4-bit weights + per-group scales
+            # quarter the stream — 13B-class on ONE chip, no TP needed.
+            # Single-device only (group scales don't shard along the
+            # packed contraction axis).
             from reprover_tpu.models.quantize import quantize_causal_params
 
-            params = quantize_causal_params(params, kernel_ok=mesh is None)
+            bits = 4 if quantize == "int4" else 8
+            if bits == 4 and mesh is not None:
+                raise NotImplementedError(
+                    "int4 serving is single-device; use int8 with TP"
+                )
+            params = quantize_causal_params(
+                params, kernel_ok=mesh is None, bits=bits
+            )
         if mesh is not None:
             # Tensor-parallel serving over the mesh's `model` axis — the
             # decoder-only family is where >1-chip models are realistic

@@ -53,15 +53,18 @@ class CausalTacticGeneratorModel:
         length_penalty: float = 0.0,
         template: str = GOAL_TEMPLATE,
         bucket_multiple: int = 128,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> None:
         if quantize:
             # Weight-only int8 serving: half the weight HBM stream, near-
             # lossless beams (role of vLLM's quantization options for the
             # decoder-only family, `/root/reference/prover/proof_search.py:332-366`).
+            # "int4" quarters it (packed nibbles, per-group scales).
             from reprover_tpu.models.quantize import quantize_causal_params
 
-            params = quantize_causal_params(params)
+            params = quantize_causal_params(
+                params, bits=4 if quantize == "int4" else 8
+            )
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -133,7 +136,7 @@ class CausalTacticGeneratorModel:
         length_penalty: float = 0.0,
         template: str = GOAL_TEMPLATE,
         compute_dtype: Any = None,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> "CausalTacticGeneratorModel":
         from transformers import AutoTokenizer
 
@@ -174,7 +177,8 @@ class CausalTacticGeneratorModel:
 
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
-        mesh: Any = None, step_buckets: Any = None, quantize: bool = False,
+        mesh: Any = None, step_buckets: Any = None,
+        quantize: "bool | str" = False,
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 

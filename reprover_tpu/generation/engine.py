@@ -939,7 +939,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         chunk_size: int = 8,
         mesh: Optional[jax.sharding.Mesh] = None,
         step_buckets: Optional[Sequence[int]] = None,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> None:
         self.cfg = cfg
         if quantize:
@@ -950,9 +950,19 @@ class StepwiseBeamEngine(StepwiseEngineBase):
             # nodes; under a mesh the Pallas w8a16 routing is disabled
             # (kernel_ok=False — a pallas_call can't be GSPMD-partitioned)
             # and the int8 dot partitions like any XLA matmul.
+            # quantize="int4" packs 4-bit weights with per-group scales
+            # (quarter weight HBM); single-device only — per-K-group
+            # scales don't shard along the packed contraction axis.
             from reprover_tpu.models.quantize import quantize_t5_params
 
-            params = quantize_t5_params(params, kernel_ok=mesh is None)
+            bits = 4 if quantize == "int4" else 8
+            if bits == 4 and mesh is not None:
+                raise NotImplementedError(
+                    "int4 serving is single-device; use int8 with TP"
+                )
+            params = quantize_t5_params(
+                params, kernel_ok=mesh is None, bits=bits
+            )
         if mesh is not None:
             # Tensor-parallel serving: Megatron column/row splits over the
             # mesh's `model` axis (the vLLM `tensor_parallel_size` role,

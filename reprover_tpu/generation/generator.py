@@ -102,7 +102,7 @@ class TacticGeneratorModel:
         max_oup_seq_len: int,
         length_penalty: float = 0.0,
         compute_dtype: Any = None,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> "TacticGeneratorModel":
         on_tpu = jax.devices()[0].platform == "tpu"
         if compute_dtype is None:
@@ -122,9 +122,12 @@ class TacticGeneratorModel:
         if quantize:
             # Weight-only int8: halves the HBM weight traffic that bounds
             # per-token decode (near-lossless per-channel quantization).
+            # "int4" quarters it (packed nibbles, per-group scales).
             from reprover_tpu.models.quantize import quantize_t5_params
 
-            params = quantize_t5_params(params)
+            params = quantize_t5_params(
+                params, bits=4 if quantize == "int4" else 8
+            )
         return cls(params, cfg, max_inp_seq_len, max_oup_seq_len, length_penalty)
 
     # -------------------------------------------------------------- #
@@ -174,7 +177,8 @@ class TacticGeneratorModel:
 
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
-        mesh: Any = None, step_buckets: Any = None, quantize: bool = False,
+        mesh: Any = None, step_buckets: Any = None,
+        quantize: "bool | str" = False,
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 

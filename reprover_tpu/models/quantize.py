@@ -56,6 +56,91 @@ class QuantWeight:
         return self.q.shape
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Quant4Weight(QuantWeight):
+    """Packed int4 weight + per-K-group scales (w4a16 serving).
+
+    ``q``: uint8 ``[..., K/2, O]`` — two 4-bit two's-complement values per
+    byte along the contraction axis (low nibble = even row). ``scale``: fp32
+    ``[..., K/group, O]`` — scales vary along K, so dequant applies them
+    BEFORE the dot (the int8 class's post-dot column scale no longer
+    factors out). Subclassing :class:`QuantWeight` keeps the models'
+    ``isinstance(w, QuantWeight)`` dispatch untouched.
+
+    Quarter-size weights are the lever that turns the int8 story's
+    "7B-class on one 16 GB chip" into **13B-class on one chip** (the role
+    of vLLM's 4-bit options, `/root/reference/prover/proof_search.py:332-366`).
+    """
+
+    group: int = 128
+
+    def tree_flatten(self):
+        return ((self.q, self.scale), (self.kernel_ok, self.group))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children) -> "Quant4Weight":
+        kernel_ok, group = aux
+        return cls(*children, kernel_ok=kernel_ok, group=group)
+
+
+def _group_for(k: int, group: int) -> int:
+    """Largest group size <= the requested one that divides K (halving —
+    model dims are even; e.g. byt5's d_model 1472 lands on 64).
+
+    For K > 2048 the Pallas w4a16 kernel blocks the contraction axis, and
+    its scale tile needs ``(K-block / group) % 8 == 0`` (TPU sublane rule),
+    so the group must additionally satisfy ``K % (8*group) == 0`` — e.g.
+    LLaMA-13B's d_ff 13824 lands on 64 where 128 would leave no legal
+    K block. K <= 2048 uses a whole-K tile, where only ``K % group == 0``
+    matters."""
+    g = min(group, k)
+    if k > 2048:
+        while g > 1 and k % (8 * g):
+            g //= 2
+    else:
+        while g > 1 and k % g:
+            g //= 2
+    return max(g, 1)
+
+
+def quantize_weight4(
+    w: jnp.ndarray, group: int = 128, kernel_ok: bool = True
+) -> Quant4Weight:
+    """Symmetric int4 with per-(K-group, output-channel) scales; packs two
+    values per byte along K. Leading axes (stacked layers) quantize
+    independently through the group reshape."""
+    w32 = jnp.asarray(w, jnp.float32)
+    *lead, k, o = w32.shape
+    assert k % 2 == 0, f"odd contraction dim {k} cannot pack int4 pairs"
+    g = _group_for(k, group)
+    grp = w32.reshape(*lead, k // g, g, o)
+    absmax = jnp.max(jnp.abs(grp), axis=-2, keepdims=True)  # [..., K/g, 1, O]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(grp / scale), -7, 7).astype(jnp.int32)
+    q = q.reshape(*lead, k, o)
+    pairs = q.reshape(*lead, k // 2, 2, o)
+    low, high = pairs[..., 0, :], pairs[..., 1, :]
+    packed = ((low & 15) | ((high & 15) << 4)).astype(jnp.uint8)
+    return Quant4Weight(
+        q=packed, scale=scale[..., 0, :], kernel_ok=kernel_ok, group=g
+    )
+
+
+def dequantize4(w: Quant4Weight) -> jnp.ndarray:
+    """fp32 [..., K, O] reconstruction (the XLA serving path and the
+    pack/unpack round-trip oracle for tests)."""
+    from reprover_tpu.ops.quant_matmul import unpack_int4
+
+    w_int = unpack_int4(w.q)  # [..., K, O] int32
+    *lead, k, o = w_int.shape
+    s = w.scale[..., :, None, :]  # [..., K/g, 1, O]
+    s_full = jnp.broadcast_to(
+        s, (*lead, k // w.group, w.group, o)
+    ).reshape(*lead, k, o)
+    return w_int.astype(jnp.float32) * s_full
+
+
 def quantize_weight(w: jnp.ndarray, kernel_ok: bool = True) -> QuantWeight:
     """Per-output-channel symmetric int8 (output = last axis; leading axes,
     e.g. the stacked-layer axis, quantize independently)."""
@@ -122,6 +207,51 @@ def _kernel_matmul(
     return y.reshape(*lead, y.shape[-1])
 
 
+def _use_kernel4(x: jnp.ndarray, w: "Quant4Weight", dtype: jnp.dtype) -> bool:
+    if not w.kernel_ok or w.q.ndim != 2:
+        return False
+    kp, n = w.q.shape
+    m = 1
+    for s in x.shape[:-1]:
+        m *= int(s)
+    # same routing semantics as int8: kernel for >=16M-parameter weights
+    # with a VMEM-resident activation
+    if not (
+        kp * 2 * n >= _KERNEL_MIN_WEIGHT_BYTES
+        and m * kp * 2 * jnp.dtype(dtype).itemsize <= _KERNEL_MAX_X_BYTES
+    ):
+        return False
+    if FORCE_KERNEL is not None:
+        return FORCE_KERNEL
+    return jax.default_backend() == "tpu"
+
+
+def _quant4_apply(
+    x: jnp.ndarray, w: "Quant4Weight", dtype: jnp.dtype, out_dtype: jnp.dtype
+) -> jnp.ndarray:
+    if _use_kernel4(x, w, dtype):
+        from reprover_tpu.ops.quant_matmul import quant4_matmul
+
+        lead = x.shape[:-1]
+        m = 1
+        for s in lead:
+            m *= int(s)
+        y = quant4_matmul(
+            x.reshape(m, x.shape[-1]).astype(dtype),
+            w.q,
+            w.scale,
+            group=w.group,
+            out_dtype=out_dtype,
+        )
+        return y.reshape(*lead, y.shape[-1])
+    y = jnp.dot(
+        x.astype(dtype),
+        dequantize4(w).astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(out_dtype)
+
+
 def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.ndarray:
     """y = (x @ int8) * scale, fp32 accumulation.
 
@@ -138,6 +268,8 @@ def quantized_dense(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.nda
       DMA'd from HBM, converted in VMEM, and fed to the MXU — HBM sees
       half the weight bytes.
     """
+    if isinstance(w, Quant4Weight):
+        return _quant4_apply(x, w, dtype, out_dtype=dtype)
     if _use_kernel(x, w, dtype):
         return _kernel_matmul(x, w, dtype, out_dtype=dtype)
     y = jnp.dot(
@@ -152,6 +284,8 @@ def quantized_logits(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.nd
     """Vocab projection variant of :func:`quantized_dense`: returns **fp32**
     logits (softmax islands stay full precision) instead of casting back to
     the compute dtype. Same kernel-routing rule."""
+    if isinstance(w, Quant4Weight):
+        return _quant4_apply(x, w, dtype, out_dtype=jnp.float32)
     if _use_kernel(x, w, dtype):
         return _kernel_matmul(x, w, dtype, out_dtype=jnp.float32)
     y = jnp.dot(
@@ -169,33 +303,45 @@ _CAUSAL_MATMUL_KEYS = frozenset(
 )
 
 
-def _quantize_tree(params: Any, keys: frozenset, kernel_ok: bool = True) -> Any:
+def _quantize_tree(
+    params: Any, keys: frozenset, kernel_ok: bool = True, bits: int = 8
+) -> Any:
+    assert bits in (8, 4), bits
+
     def rec(node, key=None):
         if isinstance(node, dict):
             return {k: rec(v, k) for k, v in node.items()}
         if isinstance(node, QuantWeight):  # idempotent
             return node
         if key in keys and hasattr(node, "ndim") and node.ndim >= 2:
+            if bits == 4:
+                return quantize_weight4(node, kernel_ok=kernel_ok)
             return quantize_weight(node, kernel_ok=kernel_ok)
         return node
 
     return rec(params)
 
 
-def quantize_t5_params(params: Any, kernel_ok: bool = True) -> Any:
+def quantize_t5_params(
+    params: Any, kernel_ok: bool = True, bits: int = 8
+) -> Any:
     """Quantize every T5 matmul weight (attention/MLP/lm_head); norms,
     embeddings, and relative-position biases stay in full precision.
     ``kernel_ok=False`` when the tree will be TP-sharded (see
-    :class:`QuantWeight`)."""
-    return _quantize_tree(params, _T5_MATMUL_KEYS, kernel_ok)
+    :class:`QuantWeight`). ``bits=4`` packs int4 with per-group scales
+    (:class:`Quant4Weight`)."""
+    return _quantize_tree(params, _T5_MATMUL_KEYS, kernel_ok, bits)
 
 
-def quantize_causal_params(params: Any, kernel_ok: bool = True) -> Any:
+def quantize_causal_params(
+    params: Any, kernel_ok: bool = True, bits: int = 8
+) -> Any:
     """Quantize every LLaMA-family matmul weight (attention q/k/v/o,
     SwiGLU gate/up/down, lm_head); the token embedding, RMSNorm scales,
     and — under ``tie_word_embeddings`` — the tied output projection stay
     in full precision. int8 weights halve the serving footprint: a
     7B-class decoder (13.5 GB bf16) fits a single 16 GB v5e chip with room
     for the engine's KV caches (role of vLLM's quantization options,
-    `/root/reference/prover/proof_search.py:332-366`)."""
-    return _quantize_tree(params, _CAUSAL_MATMUL_KEYS, kernel_ok)
+    `/root/reference/prover/proof_search.py:332-366`); ``bits=4`` quarters
+    the weight stream, lifting that to 13B-class on one chip."""
+    return _quantize_tree(params, _CAUSAL_MATMUL_KEYS, kernel_ok, bits)

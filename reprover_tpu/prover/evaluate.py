@@ -171,9 +171,14 @@ def main() -> None:
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(
         "--quantize",
-        action="store_true",
-        help="weight-only int8 generator serving (near-lossless beams, "
-        "half the weight HBM — fits 7B-class decoders on one 16GB chip)",
+        nargs="?",
+        const="int8",
+        default=False,
+        choices=("int8", "int4"),
+        help="weight-only quantized generator serving: bare flag or "
+        "'int8' = near-lossless beams, half the weight HBM (7B-class "
+        "decoders on one 16GB chip); 'int4' = quarter the weight HBM "
+        "(13B-class on one chip, single-device only)",
     )
     parser.add_argument(
         "--approx",

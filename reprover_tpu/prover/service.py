@@ -245,11 +245,12 @@ class StreamingInferenceService(InferenceService):
         pipeline_depth: int = 4,
         mesh: Any = None,
         step_buckets: Any = None,
-        quantize: bool = False,
+        quantize: "bool | str" = False,
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         # Weight-only int8 engine weights (near-lossless; halves the decode
-        # weight stream — lets a 7B-class decoder serve from one 16 GB chip).
+        # weight stream — lets a 7B-class decoder serve from one 16 GB chip;
+        # "int4" quarters it — 13B-class on one chip).
         self.quantize = quantize
         self.num_slots = num_slots
         self.num_beams = num_beams

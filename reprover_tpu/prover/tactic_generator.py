@@ -87,7 +87,7 @@ class LocalTacticGenerator(TacticGenerator):
 
     def __init__(self, model_or_path: Any, max_inp_seq_len: int = 2048,
                  max_oup_seq_len: int = 512, length_penalty: float = 0.0,
-                 quantize: bool = False) -> None:
+                 quantize: "bool | str" = False) -> None:
         if isinstance(model_or_path, str):
             self._path = model_or_path
             self.model = None

@@ -247,6 +247,223 @@ def test_quantized_t5_engine_matches_quantized_classic():
         )
 
 
+# ------------------------------------------------------------------ #
+# int4 (w4a16): pack/unpack round-trip, tree mapping, kernel, engines
+# ------------------------------------------------------------------ #
+
+from reprover_tpu.models.quantize import (
+    Quant4Weight,
+    dequantize4,
+    quantize_weight4,
+)
+
+
+def test_quantize_weight4_roundtrip_bound():
+    rng = np.random.default_rng(21)
+    w = jnp.asarray(rng.normal(size=(256, 48)), jnp.float32)
+    qw = quantize_weight4(w, group=64)
+    assert qw.q.dtype == jnp.uint8 and qw.q.shape == (128, 48)
+    assert qw.scale.shape == (4, 48) and qw.group == 64
+    recon = np.asarray(dequantize4(qw))
+    # per-group absmax / 7 is the quantization step; round-to-nearest
+    # bounds the error at half a step per element
+    grp = np.asarray(w).reshape(4, 64, 48)
+    step = np.abs(grp).max(axis=1, keepdims=True) / 7.0
+    err = np.abs(recon.reshape(4, 64, 48) - grp)
+    assert (err <= step * 0.5 + 1e-6).all()
+
+
+def test_quantize_weight4_group_falls_back_to_divisor():
+    # byt5-small's d_model (1472) is not divisible by 128; the group size
+    # halves to the largest divisor (64) instead of failing
+    w = jnp.zeros((1472, 8), jnp.float32)
+    qw = quantize_weight4(w, group=128)
+    assert qw.group == 64 and qw.scale.shape == (23, 8)
+    # K > 2048 additionally demands K % (8*group) == 0 so the Pallas
+    # kernel has a legal K block (scale sublane rule): LLaMA-13B's
+    # d_ff=13824 lands on 64, and 2304 on 32
+    assert quantize_weight4(jnp.zeros((13824, 8)), group=128).group == 64
+    assert quantize_weight4(jnp.zeros((2304, 8)), group=128).group == 32
+
+
+def test_quantize_weight4_stacked_layer_axis():
+    rng = np.random.default_rng(22)
+    w = jnp.asarray(rng.normal(size=(3, 32, 8)), jnp.float32)
+    w = w * jnp.asarray([1.0, 10.0, 100.0])[:, None, None]
+    qw = quantize_weight4(w, group=16)
+    assert qw.q.shape == (3, 16, 8) and qw.scale.shape == (3, 2, 8)
+    recon = np.asarray(dequantize4(qw))
+    for i, mag in enumerate((1.0, 10.0, 100.0)):
+        step = np.abs(np.asarray(w[i])).max() / 7.0
+        assert np.abs(recon[i] - np.asarray(w[i])).max() <= step * 0.5 + 1e-6
+
+
+def test_quant4_dense_close_to_full():
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.normal(size=(5, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 48)), jnp.float32)
+    qw = quantize_weight4(w, group=32)
+    full = np.asarray(x @ w)
+    quant = np.asarray(quantized_dense(x, qw, jnp.float32))
+    # int4 carries ~16x the step of int8 (measured max/std 0.44 at this
+    # shape/seed); grouped scales keep the output error bounded by the
+    # signal spread, not pointwise-tight like int8
+    assert np.abs(quant - full).max() / np.abs(full).std() < 0.6
+    assert np.median(np.abs(quant - full) / (np.abs(full) + 1e-3)) < 0.15
+    # and exactly reproduces the dequantized reference (same path)
+    ref = np.asarray(x) @ np.asarray(dequantize4(qw))
+    np.testing.assert_allclose(quant, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_quantize_tree_bits4():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    qparams = quantize_t5_params(params, bits=4)
+    assert isinstance(qparams["encoder"]["layers"]["attn"]["q"], Quant4Weight)
+    assert isinstance(qparams["lm_head"], Quant4Weight)
+    assert not isinstance(qparams["shared_embedding"], QuantWeight)
+    # idempotent (Quant4Weight is a QuantWeight)
+    q2 = quantize_t5_params(qparams, bits=4)
+    assert q2["lm_head"] is qparams["lm_head"]
+    # pytree round-trip preserves the static aux (group, kernel_ok)
+    leaves, treedef = jax.tree_util.tree_flatten(qparams["lm_head"])
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rebuilt.group == qparams["lm_head"].group
+
+
+def test_pallas_quant4_matmul_interpret():
+    """w4a16 kernel == dequantized XLA reference (interpret mode)."""
+    from reprover_tpu.ops.quant_matmul import quant4_matmul
+
+    rng = np.random.default_rng(24)
+    for m, k, n, g in (
+        (64, 1472, 384, 64),
+        (8, 384, 1472, 128),
+        (5, 256, 128, 128),
+        (1100, 256, 512, 64),
+        # K > 2048: the K-blocked accumulating grid (scratch + revisited
+        # out tile) — 4096/128-group gives bk=1024 (4 K blocks); 2304
+        # forces the group down to 32 (K % (8*group) rule) with bk=256
+        (16, 4096, 256, 128),
+        (4, 2304, 128, 128),
+    ):
+        x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
+        qw = quantize_weight4(w, group=g)
+        ref = np.asarray(x) @ np.asarray(dequantize4(qw))
+        out = np.asarray(
+            quant4_matmul(
+                x, qw.q, qw.scale, group=qw.group, interpret=True
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_int4_t5_engine_matches_int4_classic():
+    """int4 engine serving == int4 classic generate: continuous batching
+    must not change the quantized model's beams at 4-bit either."""
+    from reprover_tpu.generation.generator import TacticGeneratorModel
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    classic_model = TacticGeneratorModel(
+        quantize_t5_params(params, bits=4), TINY, max_inp_seq_len=64,
+        max_oup_seq_len=8, bucket_multiple=32,
+    )
+    texts = ["⊢ 2 = 2", "n : ℕ ⊢ n + 0 = n"]
+    classic = {t: classic_model.generate([t], num_samples=4)[0] for t in texts}
+
+    raw_model = TacticGeneratorModel(
+        params, TINY, max_inp_seq_len=64, max_oup_seq_len=8, bucket_multiple=32
+    )
+    engine = raw_model.make_stepwise_engine(
+        num_slots=2, num_beams=4, chunk_size=3, quantize="int4"
+    )
+    ids, mask = raw_model.tokenize_for_engine(texts)
+    engine.admit_batch_tokens([0, 1], ids, mask)
+    got = {}
+    for _ in range(32):
+        if not engine.has_active():
+            break
+        engine.run_chunk()
+        for slot in engine.finished_slots():
+            seqs, scores, lens = engine.finalize(slot)
+            got[slot] = raw_model.decode_candidates(seqs, scores, lens)
+    for slot, text in ((0, texts[0]), (1, texts[1])):
+        want = classic[text]
+        assert [t for t, _ in got[slot]] == [t for t, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got[slot]], [s for _, s in want],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_int4_causal_engine_matches_int4_classic():
+    from reprover_tpu.generation.causal_generator import (
+        CausalTacticGeneratorModel,
+    )
+
+    class IdsTokenizer:
+        def __call__(self, text, add_special_tokens=True):
+            return {"input_ids": [int(t) for t in text.split()]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    params = init_causal_params(jax.random.PRNGKey(7), CAUSAL_TINY)
+    model = CausalTacticGeneratorModel(
+        params, CAUSAL_TINY, IdsTokenizer(), max_inp_seq_len=16,
+        max_oup_seq_len=8, template="%s", bucket_multiple=4, quantize="int4",
+    )
+    assert isinstance(model.params["lm_head"], Quant4Weight)
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(str(int(t)) for t in rng.integers(3, CAUSAL_TINY.vocab_size, n))
+        for n in (5, 9)
+    ]
+    classic = {t: model.generate([t], num_samples=4)[0] for t in texts}
+
+    engine = CausalTacticGeneratorModel(
+        params, CAUSAL_TINY, IdsTokenizer(), max_inp_seq_len=16,
+        max_oup_seq_len=8, template="%s", bucket_multiple=4,
+    ).make_stepwise_engine(
+        num_slots=2, num_beams=4, chunk_size=3, quantize="int4"
+    )
+    ids, mask = model.tokenize_for_engine(texts)
+    engine.admit_batch_tokens([0, 1], ids, mask)
+    got = {}
+    for _ in range(32):
+        if not engine.has_active():
+            break
+        engine.run_chunk()
+        for slot in engine.finished_slots():
+            seqs, scores, lens = engine.finalize(slot)
+            got[slot] = model.decode_candidates(seqs, scores, lens)
+    for slot, text in ((0, texts[0]), (1, texts[1])):
+        want = classic[text]
+        assert [t for t, _ in got[slot]] == [t for t, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got[slot]], [s for _, s in want],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_int4_tp_mesh_rejected():
+    """int4 is single-device by design (per-K-group scales don't shard
+    along the packed contraction axis) — the engine must say so, not
+    silently produce a broken sharding."""
+    import pytest
+
+    from reprover_tpu.generation.engine import StepwiseBeamEngine
+    from reprover_tpu.parallel.mesh import make_mesh
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    mesh = make_mesh(model=2)
+    with pytest.raises(NotImplementedError):
+        StepwiseBeamEngine(
+            params, TINY, num_slots=2, num_beams=4, max_src_len=32,
+            max_decode_len=8, mesh=mesh, quantize="int4",
+        )
+
+
 def test_kernel_routing_thresholds():
     """Big 2-D weights route to the Pallas kernel (when forced / on TPU);
     byt5-scale weights, stacked-layer slices, and VMEM-oversized
