@@ -15,6 +15,9 @@ jit), so the 13.5 GB bf16 tree never materializes.
 Run (real TPU, nothing else on the chip):
     python benchmarks/causal7b_serve.py                 # 7B int8
     python benchmarks/causal7b_serve.py --geometry 1p5b --compare-bf16
+    python benchmarks/causal7b_serve.py --geometry 13b --bits 4
+    # 13B on ONE chip: int4 (AOT: args 11.46 + temps 3.52 GB; int8 needs
+    # TP=2 and bf16 is 25.4 GB of weights alone)
 """
 
 from __future__ import annotations
@@ -33,7 +36,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _ap = argparse.ArgumentParser()
-_ap.add_argument("--geometry", choices=("7b", "1p5b"), default="7b")
+_ap.add_argument("--geometry", choices=("7b", "1p5b", "13b"), default="7b")
+_ap.add_argument("--bits", type=int, choices=(8, 4), default=8,
+                 help="weight-only quantization width (4 = w4a16 packed "
+                 "nibbles + per-group scales; the 13B-on-one-chip mode)")
 _ap.add_argument("--compare-bf16", action="store_true",
                  help="also time the bf16 engine (must fit: 1p5b only)")
 _ap.add_argument("--slots", type=int, default=4)
@@ -63,24 +69,32 @@ def make_cfg(name: str, dtype):
             vocab_size=32000, d_model=4096, num_layers=32, num_heads=32,
             num_kv_heads=32, d_ff=11008, compute_dtype=dtype,
         )
+    if name == "13b":  # LLaMA-13B geometry (MHA) — one chip only at int4
+        return CausalLMConfig(
+            vocab_size=32000, d_model=5120, num_layers=40, num_heads=40,
+            num_kv_heads=40, d_ff=13824, compute_dtype=dtype,
+        )
     return CausalLMConfig(  # ~1.3B: both int8 and bf16 fit for the ratio
         vocab_size=32000, d_model=2048, num_layers=24, num_heads=16,
         num_kv_heads=16, d_ff=5504, compute_dtype=dtype,
     )
 
 
-def init_quantized_params(cfg):
+def init_quantized_params(cfg, bits: int = 8):
     """init_params ∘ quantize_causal_params without the bf16/fp32 peak:
     each stacked weight is built in ONE jitted lax.map whose fp32
-    per-layer temp never escapes; only int8 (+ scale) lands in HBM."""
-    from reprover_tpu.models.quantize import quantize_weight
+    per-layer temp never escapes; only int8/packed-int4 (+ scale) lands
+    in HBM."""
+    from reprover_tpu.models.quantize import quantize_weight, quantize_weight4
+
+    qfn = quantize_weight if bits == 8 else quantize_weight4
 
     def dense(key, i, o):
         return (i ** -0.5) * jax.random.normal(key, (i, o), jnp.float32)
 
     @partial(jax.jit, static_argnums=(1, 2))
     def stacked_q(layer_keys, i, o):
-        return jax.lax.map(lambda k: quantize_weight(dense(k, i, o)), layer_keys)
+        return jax.lax.map(lambda k: qfn(dense(k, i, o)), layer_keys)
 
     rng = jax.random.PRNGKey(0)
     k_emb, k_layers, k_head = jax.random.split(rng, 3)
@@ -110,7 +124,7 @@ def init_quantized_params(cfg):
     @jax.jit
     def emb_and_head(ke, kh):
         e = jax.random.normal(ke, (cfg.vocab_size, cfg.d_model), jnp.float32) * 0.02
-        h = quantize_weight(dense(kh, cfg.d_model, cfg.vocab_size))
+        h = qfn(dense(kh, cfg.d_model, cfg.vocab_size))
         return e.astype(jnp.bfloat16), h
 
     emb, head = emb_and_head(k_emb, k_head)
@@ -213,8 +227,8 @@ def main() -> None:
 
     assert jax.devices()[0].platform == "tpu", "real-TPU benchmark"
     cfg = make_cfg(_ARGS.geometry, jnp.bfloat16)
-    qparams = init_quantized_params(cfg)
-    time_step(cfg, qparams, tag="int8")
+    qparams = init_quantized_params(cfg, bits=_ARGS.bits)
+    time_step(cfg, qparams, tag=f"int{_ARGS.bits}")
     if _ARGS.compare_bf16:
         assert _ARGS.geometry != "7b", "bf16 7B does not fit one chip"
         del qparams
