@@ -75,11 +75,15 @@ class Quant4Weight(QuantWeight):
 
     group: int = 128
 
-    def tree_flatten(self):
+    def tree_flatten(
+        self,
+    ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], tuple[bool, int]]:
         return ((self.q, self.scale), (self.kernel_ok, self.group))
 
     @classmethod
-    def tree_unflatten(cls, aux, children) -> "Quant4Weight":
+    def tree_unflatten(
+        cls, aux: tuple[bool, int], children: tuple
+    ) -> "Quant4Weight":
         kernel_ok, group = aux
         return cls(*children, kernel_ok=kernel_ok, group=group)
 
