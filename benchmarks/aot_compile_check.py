@@ -522,6 +522,19 @@ def main() -> None:
             lambda p, s: causal_engine_step(p, b13, s, 0.0),
             q13_4, s13, donate=(1,),
         )
+        # Prompt admission is part of the one-chip claim too. At
+        # prefill M = 4*511 = 2044 the activation exceeds the kernel's
+        # VMEM residency cap, so admission takes the XLA dequant path —
+        # this gate bounds the f32 dequant temporaries it materializes.
+        check(
+            "causal13b_int4_admit_wave",
+            lambda p, s, sl, i, m: causal_admit_program(
+                p, b13, 4, 8, s, sl, i, m
+            ),
+            q13_4, s13, sds((4,), jnp.int32),
+            sds((4, 512), jnp.int32), sds((4, 512), jnp.int32),
+            donate=(1,),
+        )
     finally:
         _qz.FORCE_KERNEL = None
 
