@@ -373,11 +373,12 @@ def main() -> None:
         lambda p, s: engine_step(p, cfg, s, 0.0),
         params, state, donate=(1,),
     )
-    # The Pallas gather-reorder kernel stays available (gather_reorder=True)
-    # — keep its Mosaic compile covered at the engine shape.
+    # The Pallas gather-reorder kernel stays available
+    # (reorder_mode="gather") — keep its Mosaic compile covered at the
+    # engine shape.
     check(
         "t5_engine_step_gather_kernel",
-        lambda p, s: engine_step(p, cfg, s, 0.0, gather_reorder=True),
+        lambda p, s: engine_step(p, cfg, s, 0.0, reorder_mode="gather"),
         params, state, donate=(1,),
     )
 
@@ -501,7 +502,7 @@ def main() -> None:
     })
     check(
         "causal13b_int8_tp2_engine_step",
-        lambda p, s: causal_engine_step(p, b13, s, 0.0, gather_reorder=False),
+        lambda p, s: causal_engine_step(p, b13, s, 0.0, reorder_mode="einsum"),
         q13, s13, donate=(1,), arg_shardings=(pshard, sshard),
     )
 
@@ -521,6 +522,32 @@ def main() -> None:
             "causal13b_int4_engine_step",
             lambda p, s: causal_engine_step(p, b13, s, 0.0),
             q13_4, s13, donate=(1,),
+        )
+        # The single-step program above under-reports the SERVING-LOOP
+        # footprint: a fori_loop carry must double-buffer any cache that
+        # a whole-array permutation rewrites, and the real chip rejected
+        # the einsum-reorder loop at 17.44G (two extra 1.57 GB
+        # while-carry cache copies, 2026-08-19). reorder_mode="scan"
+        # rewrites each layer in place (dynamic_update_slice is aliased
+        # through the carry), so the loop-carried program must fit; this
+        # gate holds the one-chip 13B serving claim at the *loop* level.
+        import jax.lax as _lax
+
+        def _int4_loop(p, s):
+            return _lax.fori_loop(
+                0, 8,
+                lambda _, st: _dc.replace(
+                    causal_engine_step(
+                        p, b13, st, 0.0, reorder_mode="scan"
+                    ),
+                    n=st.n, done=st.done,
+                ),
+                s,
+            )
+
+        check(
+            "causal13b_int4_serve_loop_scan",
+            _int4_loop, q13_4, s13, donate=(1,),
         )
         # Prompt admission is part of the one-chip claim too. At
         # prefill M = 4*511 = 2044 the activation exceeds the kernel's

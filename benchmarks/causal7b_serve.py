@@ -49,6 +49,10 @@ _ap.add_argument("--dec", type=int, default=129)
 _ap.add_argument("--iters", type=int, default=32)
 _ap.add_argument("--reps", type=int, default=3)
 _ap.add_argument("--fill", type=int, default=64)
+_ap.add_argument("--reorder-mode", choices=("einsum", "gather", "scan"),
+                 default="einsum",
+                 help="scan = layer-blocked in-place reorder: halves the "
+                 "loop-carried cache HBM peak (the 13B int4 one-chip fit)")
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 
@@ -169,9 +173,11 @@ def time_step(cfg, params, tag: str) -> None:
         n=jnp.full((S,), _ARGS.fill, jnp.int32),
         done=jnp.zeros((S,), bool),
     )
-    # round 4: the production reorder is the one-hot einsum everywhere
-    # (measured 2x the Pallas gather at engine shapes — BASELINE.md)
-    gather = False
+    # round 4: the production reorder defaults to the one-hot einsum
+    # (measured 2x the Pallas gather at engine shapes — BASELINE.md);
+    # --reorder-mode scan keeps the fori_loop carry single-copy, which is
+    # what lets the 13B int4 program fit one 16 GB chip at runtime.
+    reorder_mode = _ARGS.reorder_mode
     del eng  # the donated carry below invalidates the engine's state refs
 
     # params MUST be an argument, not a closure: jit would capture the
@@ -185,7 +191,8 @@ def time_step(cfg, params, tag: str) -> None:
             _ARGS.iters,
             lambda _, s: dataclasses.replace(
                 causal_engine_step(cfg=cfg, params=p, state=s,
-                                   length_penalty=0.0, gather_reorder=gather),
+                                   length_penalty=0.0,
+                                   reorder_mode=reorder_mode),
                 # pin the fill level so every iteration times the same shape
                 n=s.n,
                 done=jnp.zeros_like(s.done),

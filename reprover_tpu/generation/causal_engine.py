@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from reprover_tpu.generation.engine import (
     NEG_INF,
     StepwiseEngineBase,
+    _reorder_both,
     advance_beams,
-    reorder_append,
 )
 from reprover_tpu.models.causal_lm import (
     CausalLMConfig,
@@ -251,28 +251,23 @@ def _causal_decode_step(
 
 def causal_engine_step(
     params: Params, cfg: CausalLMConfig, state: CausalEngineState,
-    length_penalty: float, gather_reorder: bool = False,
+    length_penalty: float, reorder_mode: str = "einsum",
 ) -> CausalEngineState:
     """Advance every active, unfinished slot by one token.
 
-    ``gather_reorder``: see :func:`reprover_tpu.generation.engine.engine_step`
-    — Pallas DMA gather for the decode-cache permutation (single-device
-    TPU; the einsum path stays under a TP mesh)."""
+    ``reorder_mode``: see :func:`reprover_tpu.generation.engine.engine_step`
+    — "einsum" (default), "gather" (Pallas DMA, single-device), or "scan"
+    (layer-blocked in-place; the minimal-HBM-peak option that lets a
+    loop-carried 13B-geometry int4 serving program fit one 16 GB chip)."""
     logits, k_news, v_news = _causal_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
     )
     pos = state.n - 1
-    if gather_reorder:
-        from reprover_tpu.ops.beam_reorder import reorder_append_gather
-
-        dec_k, dec_v = reorder_append_gather(
-            state.dec_k, state.dec_v, k_news, v_news,
-            cont_parent, frozen, pos,
-        )
-    else:
-        dec_k = reorder_append(state.dec_k, k_news, cont_parent, frozen, pos)
-        dec_v = reorder_append(state.dec_v, v_news, cont_parent, frozen, pos)
+    dec_k, dec_v = _reorder_both(
+        state.dec_k, state.dec_v, k_news, v_news,
+        cont_parent, frozen, pos, reorder_mode,
+    )
     return dataclasses.replace(state, dec_k=dec_k, dec_v=dec_v, **updates)
 
 
@@ -304,6 +299,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         mesh: Any = None,
         step_buckets: Any = None,
         quantize: "bool | str" = False,
+        reorder_mode: str = "einsum",
     ) -> None:
         self.cfg = cfg
         if quantize:
@@ -351,6 +347,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         super().__init__(
             params, num_slots, num_beams, max_src_len, max_decode_len,
             length_penalty, chunk_size, mesh=mesh, step_buckets=step_buckets,
+            reorder_mode=reorder_mode,
         )
 
     # -- base hooks ---------------------------------------------------- #
@@ -384,7 +381,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
     ) -> CausalEngineState:
         return causal_engine_step(
             params, self.cfg, state, self.length_penalty,
-            gather_reorder=self._use_gather_reorder(),
+            reorder_mode=self._reorder_mode(),
         )
 
     def _admit_program(

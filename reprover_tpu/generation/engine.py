@@ -379,31 +379,110 @@ def reorder_append(
     return jnp.where(at_pos, col, permuted)
 
 
+def reorder_append_scan(
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    k_col: jnp.ndarray,
+    v_col: jnp.ndarray,
+    cont_parent: jnp.ndarray,
+    frozen: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Layer-blocked :func:`reorder_append`: identical math, looped over
+    the layer axis with in-place dynamic updates.
+
+    The whole-cache einsum must double-buffer (a permutation can't be
+    computed in place), so a loop-carried serving program holds 2x both
+    caches — at LLaMA-13B geometry that is the difference between fitting
+    a 16 GB chip and a runtime OOM (two 1.57 GB while-carry copies,
+    measured 2026-08-19). Here each layer reorders via the same one-hot
+    matmul into a layer-sized temp and is written back with
+    ``dynamic_update_slice``, the canonical XLA in-place carry pattern, so
+    the peak extra HBM is one layer (~40 MB at 13B) instead of a second
+    full cache. Exactness: layer l's output depends only on layer l's
+    input — sequential in-place update is safe; parity with the einsum
+    path is pinned in `tests/test_beam_reorder.py`."""
+    S, K = cont_parent.shape
+    T = k_cache.shape[4]
+    parent_eff = jnp.where(
+        frozen[:, None], jnp.arange(K)[None, :], cont_parent
+    )
+    P = jax.nn.one_hot(parent_eff, K, dtype=k_cache.dtype)  # [S, Knew, Kold]
+    at_pos = (
+        jnp.arange(T).reshape(1, 1, 1, 1, T, 1)
+        == pos.reshape(1, S, 1, 1, 1, 1)
+    )
+
+    def reorder_layer(layer, col):  # [1,S,K,H,T,d], [1,S,K,H,1,d]
+        permuted = jnp.einsum("sij,lsjhtd->lsihtd", P, layer)
+        colp = jnp.einsum("sij,lsjhtd->lsihtd", P, col)
+        return jnp.where(at_pos, colp, permuted)
+
+    def body(l, caches):
+        kc, vc = caches
+        kl = jax.lax.dynamic_slice_in_dim(kc, l, 1, axis=0)
+        vl = jax.lax.dynamic_slice_in_dim(vc, l, 1, axis=0)
+        kcol = jax.lax.dynamic_slice_in_dim(k_col, l, 1, axis=0)
+        vcol = jax.lax.dynamic_slice_in_dim(v_col, l, 1, axis=0)
+        kc = jax.lax.dynamic_update_slice_in_dim(
+            kc, reorder_layer(kl, kcol), l, axis=0
+        )
+        vc = jax.lax.dynamic_update_slice_in_dim(
+            vc, reorder_layer(vl, vcol), l, axis=0
+        )
+        return kc, vc
+
+    return jax.lax.fori_loop(0, k_cache.shape[0], body, (k_cache, v_cache))
+
+
+REORDER_MODES = ("einsum", "gather", "scan")
+
+
+def _reorder_both(
+    k_cache, v_cache, k_col, v_col, cont_parent, frozen, pos,
+    reorder_mode: str,
+):
+    """Dispatch the per-beam cache reorder+append for both KV caches."""
+    if reorder_mode == "gather":
+        from reprover_tpu.ops.beam_reorder import reorder_append_gather
+
+        return reorder_append_gather(
+            k_cache, v_cache, k_col, v_col, cont_parent, frozen, pos
+        )
+    if reorder_mode == "scan":
+        return reorder_append_scan(
+            k_cache, v_cache, k_col, v_col, cont_parent, frozen, pos
+        )
+    assert reorder_mode == "einsum", (
+        f"reorder_mode must be one of {REORDER_MODES}: {reorder_mode!r}"
+    )
+    return (
+        reorder_append(k_cache, k_col, cont_parent, frozen, pos),
+        reorder_append(v_cache, v_col, cont_parent, frozen, pos),
+    )
+
+
 def engine_step(
     params: Params, cfg: T5Config, state: EngineState, length_penalty: float,
-    gather_reorder: bool = False,
+    reorder_mode: str = "einsum",
 ) -> EngineState:
     """Advance every active, unfinished slot by one token.
 
-    ``gather_reorder`` uses the Pallas scalar-prefetch gather for the cache
-    permutation (`ops/beam_reorder.py`) — pure DMA traffic vs the einsum's
-    layout-copy + convolution + copy (~3x); single-device TPU only (under a
-    TP mesh the einsum path stays, GSPMD partitions it)."""
+    ``reorder_mode`` selects the per-beam cache permutation:
+    ``"einsum"`` (default, measured fastest — one-hot matmul, ~300 GB/s
+    effective on v5e, and GSPMD-partitionable under a TP mesh),
+    ``"gather"`` (Pallas scalar-prefetch DMA gather, `ops/beam_reorder.py`;
+    single-device only), ``"scan"`` (layer-blocked in-place — minimal HBM
+    peak for loop-carried serving of models near the HBM ceiling)."""
     logits, k_news, v_news = _engine_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
     )
     pos = state.n - 1
-    if gather_reorder:
-        from reprover_tpu.ops.beam_reorder import reorder_append_gather
-
-        self_k, self_v = reorder_append_gather(
-            state.self_k, state.self_v, k_news, v_news,
-            cont_parent, frozen, pos,
-        )
-    else:
-        self_k = reorder_append(state.self_k, k_news, cont_parent, frozen, pos)
-        self_v = reorder_append(state.self_v, v_news, cont_parent, frozen, pos)
+    self_k, self_v = _reorder_both(
+        state.self_k, state.self_v, k_news, v_news,
+        cont_parent, frozen, pos, reorder_mode,
+    )
     return dataclasses.replace(
         state, self_k=self_k, self_v=self_v, **updates
     )
@@ -440,6 +519,7 @@ class StepwiseEngineBase:
         chunk_size: int = 8,
         mesh: Optional[jax.sharding.Mesh] = None,
         step_buckets: Optional[Sequence[int]] = None,
+        reorder_mode: str = "einsum",
     ) -> None:
         """``mesh`` enables tensor-parallel serving (the reference's vLLM
         ``tensor_parallel_size`` role, `/root/reference/prover/proof_search.py:345`):
@@ -466,6 +546,14 @@ class StepwiseEngineBase:
         self.length_penalty = length_penalty
         self.chunk_size = chunk_size
         self.mesh = mesh
+        assert reorder_mode in REORDER_MODES, (
+            f"reorder_mode must be one of {REORDER_MODES}: {reorder_mode!r}"
+        )
+        assert not (reorder_mode == "gather" and mesh is not None), (
+            "the Pallas gather reorder is single-device (a pallas_call "
+            "can't be GSPMD-partitioned); use einsum or scan under a mesh"
+        )
+        self.reorder_mode = reorder_mode
         if step_buckets is not None:
             step_buckets = tuple(int(b) for b in step_buckets)
             assert self._bucket_cache_fields, (
@@ -505,15 +593,16 @@ class StepwiseEngineBase:
         """One decode+beam step over all slots (pure; traced under jit)."""
         raise NotImplementedError
 
-    def _use_gather_reorder(self) -> bool:
-        """The per-beam cache reorder runs the one-hot einsum everywhere:
+    def _reorder_mode(self) -> str:
+        """The per-beam cache reorder defaults to the one-hot einsum:
         measured round 4 at the engine shapes (benchmarks/
         reorder_microbench.py, real v5e), the einsum moves both caches at
         ~300 GB/s effective vs the Pallas scalar-prefetch gather's 157 —
         2x — and it is the same program GSPMD partitions under a TP mesh.
-        The gather kernel stays available via ``engine_step(...,
-        gather_reorder=True)`` for re-measurement on future hardware."""
-        return False
+        ``reorder_mode="scan"`` (layer-blocked in-place) halves the
+        loop-carried cache HBM peak for models near the ceiling;
+        ``"gather"`` stays for re-measurement on future hardware."""
+        return self.reorder_mode
 
     def _admit_program(
         self, params: Params, state: Any, slots: Any, ids: Any, mask: Any
@@ -940,6 +1029,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         mesh: Optional[jax.sharding.Mesh] = None,
         step_buckets: Optional[Sequence[int]] = None,
         quantize: "bool | str" = False,
+        reorder_mode: str = "einsum",
     ) -> None:
         self.cfg = cfg
         if quantize:
@@ -985,6 +1075,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         super().__init__(
             params, num_slots, num_beams, max_src_len, max_decode_len,
             length_penalty, chunk_size, mesh=mesh, step_buckets=step_buckets,
+            reorder_mode=reorder_mode,
         )
 
         def admit_fn(
@@ -1074,7 +1165,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
     def _step_program(self, params: Params, state: EngineState) -> EngineState:
         return engine_step(
             params, self.cfg, state, self.length_penalty,
-            gather_reorder=self._use_gather_reorder(),
+            reorder_mode=self._reorder_mode(),
         )
 
     def _admit_program(

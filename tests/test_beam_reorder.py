@@ -61,17 +61,53 @@ def test_gather_frozen_slot_keeps_rows():
     )
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_scan_matches_einsum(seed):
+    """The layer-blocked in-place reorder (``reorder_mode="scan"``, built
+    so a loop-carried 13B-geometry int4 serving program holds one cache
+    copy instead of two) must be bit-exact with the whole-cache einsum."""
+    from reprover_tpu.generation.engine import reorder_append_scan
+
+    rng = jax.random.PRNGKey(100 + seed)
+    rk, rv, rck, rcv, rp = jax.random.split(rng, 5)
+    k_cache = jax.random.normal(rk, (L, S, K, H, T, D), jnp.float32)
+    v_cache = jax.random.normal(rv, (L, S, K, H, T, D), jnp.float32)
+    k_col = jax.random.normal(rck, (L, S, K, H, 1, D), jnp.float32)
+    v_col = jax.random.normal(rcv, (L, S, K, H, 1, D), jnp.float32)
+    parent = jax.random.randint(rp, (S, K), 0, K, jnp.int32)
+    frozen = jnp.asarray([False, True, False])
+    pos = jnp.asarray([0, 5, T - 1], jnp.int32)
+
+    want_k = reorder_append(k_cache, k_col, parent, frozen, pos)
+    want_v = reorder_append(v_cache, v_col, parent, frozen, pos)
+    got_k, got_v = jax.jit(reorder_append_scan)(
+        k_cache, v_cache, k_col, v_col, parent, frozen, pos
+    )
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
 def test_production_reorder_is_einsum_everywhere():
     """Round-4 measurement: the one-hot einsum moves both caches ~2x faster
     than the Pallas gather at engine shapes on v5e (BASELINE.md). The
     engines must default to the einsum path on every platform/mesh; the
-    gather kernel stays opt-in via engine_step(gather_reorder=True). If
-    this is ever flipped back, re-measure with
+    gather kernel stays opt-in via engine_step(reorder_mode="gather") and
+    the layer-blocked in-place variant via reorder_mode="scan". If the
+    default is ever flipped, re-measure with
     benchmarks/reorder_microbench.py first."""
     from reprover_tpu.generation.engine import StepwiseEngineBase
 
     class _Probe(StepwiseEngineBase):
         def __init__(self):  # skip device-program construction
             self.mesh = None
+            self.reorder_mode = "einsum"
 
-    assert _Probe()._use_gather_reorder() is False
+    assert _Probe()._reorder_mode() == "einsum"
+
+    from reprover_tpu.generation.causal_engine import CausalStepwiseEngine
+    from reprover_tpu.generation.engine import StepwiseBeamEngine
+    import inspect
+
+    for cls in (StepwiseBeamEngine, CausalStepwiseEngine):
+        sig = inspect.signature(cls.__init__)
+        assert sig.parameters["reorder_mode"].default == "einsum"
