@@ -246,12 +246,18 @@ class StreamingInferenceService(InferenceService):
         mesh: Any = None,
         step_buckets: Any = None,
         quantize: "bool | str" = False,
+        reorder_mode: str = "einsum",
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         # Weight-only int8 engine weights (near-lossless; halves the decode
         # weight stream — lets a 7B-class decoder serve from one 16 GB chip;
         # "int4" quarters it — 13B-class on one chip).
         self.quantize = quantize
+        # Cache-reorder strategy (see StepwiseEngineBase): "einsum" is the
+        # measured-fastest default; "scan" (layer-blocked in-place) keeps
+        # the serving loop's carry single-copy — required headroom when the
+        # model rides the HBM ceiling (13B int4 on one 16 GB chip).
+        self.reorder_mode = reorder_mode
         self.num_slots = num_slots
         self.num_beams = num_beams
         self.chunk_size = chunk_size
@@ -296,7 +302,7 @@ class StreamingInferenceService(InferenceService):
         self._engine = self.generator.make_stepwise_engine(
             self.num_slots, self.num_beams, chunk_size=self.chunk_size,
             mesh=self.mesh, step_buckets=self.step_buckets,
-            quantize=self.quantize,
+            quantize=self.quantize, reorder_mode=self.reorder_mode,
         )
 
     def _admit_wave(self, slots: List[int], states: List[str]) -> None:

@@ -111,3 +111,33 @@ def test_production_reorder_is_einsum_everywhere():
     for cls in (StepwiseBeamEngine, CausalStepwiseEngine):
         sig = inspect.signature(cls.__init__)
         assert sig.parameters["reorder_mode"].default == "einsum"
+
+
+def test_reorder_mode_threads_through_serving_stack():
+    """`reorder_mode` must be selectable from the serving boundary (the
+    13B-int4-on-one-chip deployment needs "scan"): generator wrappers and
+    the streaming service all expose and forward it."""
+    import inspect
+
+    from reprover_tpu.generation.causal_generator import (
+        CausalTacticGeneratorModel,
+    )
+    from reprover_tpu.generation.generator import TacticGeneratorModel
+    from reprover_tpu.prover.service import StreamingInferenceService
+
+    for fn in (
+        TacticGeneratorModel.make_stepwise_engine,
+        CausalTacticGeneratorModel.make_stepwise_engine,
+        StreamingInferenceService.__init__,
+    ):
+        sig = inspect.signature(fn)
+        assert sig.parameters["reorder_mode"].default == "einsum", fn
+    for fn in (
+        TacticGeneratorModel.make_stepwise_engine,
+        CausalTacticGeneratorModel.make_stepwise_engine,
+        StreamingInferenceService._build_engine,
+    ):
+        src = inspect.getsource(fn)
+        assert "reorder_mode=" in src.replace(
+            'reorder_mode: str = "einsum"', ""
+        ), f"{fn} does not forward reorder_mode"
