@@ -167,6 +167,26 @@ def test_causal_tp_engine_matches_classic(causal_setup, data, model_par):
     _assert_same(results[1], classic[texts[1]])
 
 
+@pytest.mark.parametrize("family", ["t5", "causal"])
+def test_tp_scan_reorder_matches_classic(t5_setup, causal_setup, family):
+    """TP mesh x scan reorder: the layer-blocked in-place reorder is the
+    HBM-ceiling serving option, so it must partition under GSPMD (the
+    sharded cache's layer axis is unsharded; dynamic_update_slice along it
+    is mesh-local) and stay classic-exact."""
+    setup = t5_setup if family == "t5" else causal_setup
+    model, texts, classic = setup
+    mesh = make_mesh(data=1, model=8 if family == "t5" else 2)
+    engine = model.make_stepwise_engine(
+        num_slots=2, num_beams=K, chunk_size=3, mesh=mesh,
+        reorder_mode="scan",
+    )
+    admit = _admit_t5_wave if family == "t5" else _admit_causal_wave
+    admit(engine, model, [0, 1], [texts[0], texts[1]])
+    results = _collect_t5(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])
+
+
 def test_tp_streaming_service_end_to_end(t5_setup):
     """The StreamingInferenceService drives a tensor-parallel engine
     transparently (mesh pass-through)."""
