@@ -49,8 +49,9 @@ _ap.add_argument("--dec", type=int, default=129)
 _ap.add_argument("--iters", type=int, default=32)
 _ap.add_argument("--reps", type=int, default=3)
 _ap.add_argument("--fill", type=int, default=64)
-_ap.add_argument("--reorder-mode", choices=("einsum", "gather", "scan"),
-                 default="einsum",
+_ap.add_argument("--reorder-mode",
+                 choices=("auto", "einsum", "gather", "scan"),
+                 default="auto",
                  help="scan = layer-blocked in-place reorder: halves the "
                  "loop-carried cache HBM peak (the 13B int4 one-chip fit)")
 _ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])

@@ -134,6 +134,26 @@ def main():
         exact = bool((gk == ref_k).all() and (gv == ref_v).all())
         report(name, timed(step, (kc, vc), (col, P, at_pos)), exact)
 
+    # layer-blocked in-place scan (reorder_mode="scan"): the single-copy
+    # loop-carry option — grounds the AUTO_SCAN_CACHE_BYTES threshold's
+    # small-cache side (at 7B+ scan already measured faster in-engine)
+    from reprover_tpu.generation.engine import reorder_append_scan
+
+    def sstep(c, col, parent, frozen, pos):
+        return reorder_append_scan(c[0], c[1], col, col, parent, frozen, pos)
+
+    sk, sv = sstep((kc, vc), col, parent, frozen, pos)
+    s_exact = bool(
+        (np.asarray(sk, np.float32) == ref_k).all()
+        and (np.asarray(sv, np.float32) == ref_v).all()
+    )
+    report("scan", timed(sstep, (kc, vc), (col, parent, frozen, pos)), s_exact)
+    report(
+        "scan_donated",
+        timed(sstep, (kc + 0, vc + 0), (col, parent, frozen, pos), donate=True),
+        s_exact,
+    )
+
     # production gather: both caches chained, nothing dead
     def gstep(c, col, parent, frozen, pos):
         return reorder_append_gather(c[0], c[1], col, col, parent, frozen, pos)

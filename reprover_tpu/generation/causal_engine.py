@@ -251,14 +251,16 @@ def _causal_decode_step(
 
 def causal_engine_step(
     params: Params, cfg: CausalLMConfig, state: CausalEngineState,
-    length_penalty: float, reorder_mode: str = "einsum",
+    length_penalty: float, reorder_mode: str = "auto",
 ) -> CausalEngineState:
     """Advance every active, unfinished slot by one token.
 
     ``reorder_mode``: see :func:`reprover_tpu.generation.engine.engine_step`
-    — "einsum" (default), "gather" (Pallas DMA, single-device), or "scan"
-    (layer-blocked in-place; the minimal-HBM-peak option that lets a
-    loop-carried 13B-geometry int4 serving program fit one 16 GB chip)."""
+    — "auto" (default: einsum below ``AUTO_SCAN_CACHE_BYTES`` of KV cache,
+    scan above), "einsum" (one-hot matmul), "gather" (Pallas DMA,
+    single-device), or "scan" (layer-blocked in-place; single-copy loop
+    carry — lets a loop-carried 13B-geometry int4 serving program run its
+    full slot geometry on one 16 GB chip, and measured faster at 7B+)."""
     logits, k_news, v_news = _causal_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
@@ -299,7 +301,7 @@ class CausalStepwiseEngine(StepwiseEngineBase):
         mesh: Any = None,
         step_buckets: Any = None,
         quantize: "bool | str" = False,
-        reorder_mode: str = "einsum",
+        reorder_mode: str = "auto",
     ) -> None:
         self.cfg = cfg
         if quantize:

@@ -435,14 +435,45 @@ def reorder_append_scan(
     return jax.lax.fori_loop(0, k_cache.shape[0], body, (k_cache, v_cache))
 
 
-REORDER_MODES = ("einsum", "gather", "scan")
+REORDER_MODES = ("auto", "einsum", "gather", "scan")
+
+#: ``reorder_mode="auto"`` threshold: total self-KV cache bytes at or above
+#: which the layer-blocked in-place reorder ("scan") replaces the whole-cache
+#: one-hot einsum. Measured on v5e (benchmarks/causal7b_serve.py, 2026-08-19):
+#: at 7B-int4 geometry (~2.1 GB of caches) scan is 1.10x faster than einsum
+#: (99.4 vs 109.8 ms/step) AND keeps the loop-carried decode program to ONE
+#: cache copy — at 13B geometry the einsum's while-carry double-buffer is a
+#: runtime OOM (17.44 > 15.75 GB) where scan runs. Below the threshold the
+#: einsum is the measured winner (byt5-scale reorder 2.99 ms/step vs the
+#: gather's 5.56; the scan's serialized layer loop has no upside when the
+#: whole cache fits comfortably).
+AUTO_SCAN_CACHE_BYTES = 1 << 30
+
+
+def resolve_reorder_mode(reorder_mode: str, total_cache_bytes: int) -> str:
+    """Resolve ``"auto"`` to a concrete reorder mode from the total KV-cache
+    footprint (static at trace time). See :data:`AUTO_SCAN_CACHE_BYTES`."""
+    if reorder_mode != "auto":
+        return reorder_mode
+    return "scan" if total_cache_bytes >= AUTO_SCAN_CACHE_BYTES else "einsum"
 
 
 def _reorder_both(
-    k_cache, v_cache, k_col, v_col, cont_parent, frozen, pos,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    k_col: jnp.ndarray,
+    v_col: jnp.ndarray,
+    cont_parent: jnp.ndarray,
+    frozen: jnp.ndarray,
+    pos: jnp.ndarray,
     reorder_mode: str,
-):
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch the per-beam cache reorder+append for both KV caches."""
+    reorder_mode = resolve_reorder_mode(
+        reorder_mode,
+        k_cache.size * k_cache.dtype.itemsize
+        + v_cache.size * v_cache.dtype.itemsize,
+    )
     if reorder_mode == "gather":
         from reprover_tpu.ops.beam_reorder import reorder_append_gather
 
@@ -464,16 +495,18 @@ def _reorder_both(
 
 def engine_step(
     params: Params, cfg: T5Config, state: EngineState, length_penalty: float,
-    reorder_mode: str = "einsum",
+    reorder_mode: str = "auto",
 ) -> EngineState:
     """Advance every active, unfinished slot by one token.
 
     ``reorder_mode`` selects the per-beam cache permutation:
-    ``"einsum"`` (default, measured fastest — one-hot matmul, ~300 GB/s
-    effective on v5e, and GSPMD-partitionable under a TP mesh),
-    ``"gather"`` (Pallas scalar-prefetch DMA gather, `ops/beam_reorder.py`;
-    single-device only), ``"scan"`` (layer-blocked in-place — minimal HBM
-    peak for loop-carried serving of models near the HBM ceiling)."""
+    ``"auto"`` (default) resolves at trace time from the KV-cache footprint
+    — ``"einsum"`` (one-hot matmul, ~300 GB/s effective on v5e,
+    GSPMD-partitionable under a TP mesh) below
+    :data:`AUTO_SCAN_CACHE_BYTES`, ``"scan"`` (layer-blocked in-place —
+    single-copy loop carry AND measured faster at 7B+ geometry) at or
+    above it; ``"gather"`` (Pallas scalar-prefetch DMA gather,
+    `ops/beam_reorder.py`; single-device only) stays opt-in."""
     logits, k_news, v_news = _engine_decode_step(params, cfg, state)
     updates, cont_parent, frozen = advance_beams(
         state, logits, length_penalty, cfg.eos_token_id
@@ -519,7 +552,7 @@ class StepwiseEngineBase:
         chunk_size: int = 8,
         mesh: Optional[jax.sharding.Mesh] = None,
         step_buckets: Optional[Sequence[int]] = None,
-        reorder_mode: str = "einsum",
+        reorder_mode: str = "auto",
     ) -> None:
         """``mesh`` enables tensor-parallel serving (the reference's vLLM
         ``tensor_parallel_size`` role, `/root/reference/prover/proof_search.py:345`):
@@ -594,14 +627,16 @@ class StepwiseEngineBase:
         raise NotImplementedError
 
     def _reorder_mode(self) -> str:
-        """The per-beam cache reorder defaults to the one-hot einsum:
-        measured round 4 at the engine shapes (benchmarks/
-        reorder_microbench.py, real v5e), the einsum moves both caches at
-        ~300 GB/s effective vs the Pallas scalar-prefetch gather's 157 —
-        2x — and it is the same program GSPMD partitions under a TP mesh.
-        ``reorder_mode="scan"`` (layer-blocked in-place) halves the
-        loop-carried cache HBM peak for models near the ceiling;
-        ``"gather"`` stays for re-measurement on future hardware."""
+        """The per-beam cache reorder defaults to ``"auto"``: the one-hot
+        einsum below :data:`AUTO_SCAN_CACHE_BYTES` of KV cache (measured
+        round 4 at the engine shapes, benchmarks/reorder_microbench.py,
+        real v5e: ~300 GB/s effective vs the Pallas scalar-prefetch
+        gather's 157 — 2x — and it is the same program GSPMD partitions
+        under a TP mesh), the layer-blocked in-place ``"scan"`` at or
+        above it (single-copy loop carry — what lets a 13B-int4 loop run
+        at its full slot geometry — and measured 1.10x faster than the
+        einsum at 7B geometry); ``"gather"`` stays opt-in for
+        re-measurement on future hardware."""
         return self.reorder_mode
 
     def _admit_program(
@@ -1029,7 +1064,7 @@ class StepwiseBeamEngine(StepwiseEngineBase):
         mesh: Optional[jax.sharding.Mesh] = None,
         step_buckets: Optional[Sequence[int]] = None,
         quantize: "bool | str" = False,
-        reorder_mode: str = "einsum",
+        reorder_mode: str = "auto",
     ) -> None:
         self.cfg = cfg
         if quantize:

@@ -178,7 +178,7 @@ class TacticGeneratorModel:
     def make_stepwise_engine(
         self, num_slots: int, num_beams: int, chunk_size: int = 8,
         mesh: Any = None, step_buckets: Any = None,
-        quantize: "bool | str" = False, reorder_mode: str = "einsum",
+        quantize: "bool | str" = False, reorder_mode: str = "auto",
     ) -> Any:
         """Build the continuous-batching engine for this model family.
 

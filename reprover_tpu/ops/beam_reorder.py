@@ -10,8 +10,9 @@ with both caches chained through the loop carry (the earlier microbench
 let XLA dead-code-eliminate the v half) puts this kernel at ~157 GB/s
 effective vs the one-hot einsum's ~300 at the exact engine shape
 [8,8,64,8,128,64] on a real v5e — the einsum is 2x faster AND is the same
-program GSPMD partitions under a TP mesh, so the engines now use it
-everywhere (`StepwiseEngineBase._reorder_mode` defaults to "einsum"). The
+program GSPMD partitions under a TP mesh, so the engines now default to
+`reorder_mode="auto"` (einsum below ~1 GiB of KV cache, the layer-blocked
+in-place scan above — see `engine.py::AUTO_SCAN_CACHE_BYTES`). The
 kernel is kept as an alternative (`engine_step(..., reorder_mode="gather")`)
 because its cost model is different (pure per-row DMA, no MXU) and may win
 on other hardware generations; re-measure before re-enabling.

@@ -246,7 +246,7 @@ class StreamingInferenceService(InferenceService):
         mesh: Any = None,
         step_buckets: Any = None,
         quantize: "bool | str" = False,
-        reorder_mode: str = "einsum",
+        reorder_mode: str = "auto",
     ) -> None:
         super().__init__(generator, retriever, max_num_retrieved)
         # Weight-only int8 engine weights (near-lossless; halves the decode

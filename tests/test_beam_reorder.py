@@ -87,22 +87,36 @@ def test_scan_matches_einsum(seed):
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
-def test_production_reorder_is_einsum_everywhere():
-    """Round-4 measurement: the one-hot einsum moves both caches ~2x faster
-    than the Pallas gather at engine shapes on v5e (BASELINE.md). The
-    engines must default to the einsum path on every platform/mesh; the
-    gather kernel stays opt-in via engine_step(reorder_mode="gather") and
-    the layer-blocked in-place variant via reorder_mode="scan". If the
-    default is ever flipped, re-measure with
-    benchmarks/reorder_microbench.py first."""
-    from reprover_tpu.generation.engine import StepwiseEngineBase
+def test_production_reorder_default_is_auto():
+    """Round-4 measurements (BASELINE.md): the one-hot einsum moves both
+    caches ~2x faster than the Pallas gather at byt5/d1024 engine shapes,
+    but at 7B+ geometry the layer-blocked scan is 1.10x faster AND keeps
+    the loop-carried decode program to ONE cache copy (the einsum's
+    while-carry double-buffer is a runtime OOM at 13B). The engines must
+    default to "auto" — einsum below AUTO_SCAN_CACHE_BYTES of KV cache,
+    scan at or above — so the 13B-on-one-chip deployment works without a
+    flag. If the threshold or default is ever changed, re-measure with
+    benchmarks/reorder_microbench.py + causal7b_serve.py first."""
+    from reprover_tpu.generation.engine import (
+        AUTO_SCAN_CACHE_BYTES,
+        StepwiseEngineBase,
+        resolve_reorder_mode,
+    )
 
     class _Probe(StepwiseEngineBase):
         def __init__(self):  # skip device-program construction
             self.mesh = None
-            self.reorder_mode = "einsum"
+            self.reorder_mode = "auto"
 
-    assert _Probe()._reorder_mode() == "einsum"
+    assert _Probe()._reorder_mode() == "auto"
+
+    # trace-time resolution: small caches keep the einsum, big go scan
+    assert resolve_reorder_mode("auto", AUTO_SCAN_CACHE_BYTES - 1) == "einsum"
+    assert resolve_reorder_mode("auto", AUTO_SCAN_CACHE_BYTES) == "scan"
+    # explicit modes pass through untouched
+    for mode in ("einsum", "gather", "scan"):
+        assert resolve_reorder_mode(mode, 0) == mode
+        assert resolve_reorder_mode(mode, 1 << 40) == mode
 
     from reprover_tpu.generation.causal_engine import CausalStepwiseEngine
     from reprover_tpu.generation.engine import StepwiseBeamEngine
@@ -110,7 +124,7 @@ def test_production_reorder_is_einsum_everywhere():
 
     for cls in (StepwiseBeamEngine, CausalStepwiseEngine):
         sig = inspect.signature(cls.__init__)
-        assert sig.parameters["reorder_mode"].default == "einsum"
+        assert sig.parameters["reorder_mode"].default == "auto"
 
 
 def test_reorder_mode_threads_through_serving_stack():
@@ -131,7 +145,7 @@ def test_reorder_mode_threads_through_serving_stack():
         StreamingInferenceService.__init__,
     ):
         sig = inspect.signature(fn)
-        assert sig.parameters["reorder_mode"].default == "einsum", fn
+        assert sig.parameters["reorder_mode"].default == "auto", fn
     for fn in (
         TacticGeneratorModel.make_stepwise_engine,
         CausalTacticGeneratorModel.make_stepwise_engine,
@@ -139,5 +153,5 @@ def test_reorder_mode_threads_through_serving_stack():
     ):
         src = inspect.getsource(fn)
         assert "reorder_mode=" in src.replace(
-            'reorder_mode: str = "einsum"', ""
+            'reorder_mode: str = "auto"', ""
         ), f"{fn} does not forward reorder_mode"
