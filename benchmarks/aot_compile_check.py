@@ -565,6 +565,46 @@ def main() -> None:
     finally:
         _qz.FORCE_KERNEL = None
 
+    # ---- 13B int4 x TP=2: the freed HBM buys slot geometry --------- #
+    # Composition tier past both rows above (round-5: VERDICT #4):
+    # packed int4 sharded over the 2-device mesh with the quant-aware
+    # Megatron specs (Quant4Weight: nibbles and per-K-group scales share
+    # the weight's spec, so row splits shard K/2 and K/g in lockstep;
+    # kernel routing off under GSPMD). ~3.2 GB packed weights per chip
+    # frees ~7 GB vs the one-chip int4 row — spent here on DOUBLE the
+    # slots (8 x 8 beams), i.e. twice the concurrent search requests per
+    # deployment. Gate at the serving-loop level (scan reorder, aliased
+    # carry) like the one-chip row.
+    s13_8 = jax.eval_shape(lambda: init_causal_engine_state(b13, 8, 8, 512, 129))
+    q13_4tp = jax.eval_shape(
+        functools.partial(quantize_causal_params, kernel_ok=False, bits=4),
+        p13,
+    )
+    pshard4 = jax.tree.map(
+        lambda sp: _NS(mesh2, sp),
+        causal_param_partition_specs(q13_4tp, model_parallel=True),
+    )
+    sshard8 = CausalEngineState(**{
+        **{f.name: rep2 for f in _dc.fields(CausalEngineState)},
+        "prompt_k": pkv, "prompt_v": pkv, "dec_k": dkv, "dec_v": dkv,
+    })
+
+    def _int4_tp_loop(p, s):
+        return _lax.fori_loop(
+            0, 8,
+            lambda _, st: _dc.replace(
+                causal_engine_step(p, b13, st, 0.0, reorder_mode="scan"),
+                n=st.n, done=st.done,
+            ),
+            s,
+        )
+
+    check(
+        "causal13b_int4_tp2_serve_loop_scan",
+        _int4_tp_loop, q13_4tp, s13_8, donate=(1,),
+        arg_shardings=(pshard4, sshard8),
+    )
+
     # ---- full training-step programs (reference configs) ----------- #
     # Compiled with the real donation set, so XLA's buffer assignment
     # reports the true HBM footprint (printed per check); compare

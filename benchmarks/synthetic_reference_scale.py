@@ -58,6 +58,14 @@ _ap.add_argument("--geometry", default="d256", choices=["d256", "byt5"],
                  help="model geometry: d256 (from-scratch-learnable, the "
                  "quality-run default) or byt5 (flagship google/byt5-small "
                  "~300M — pair with --init-hf from a flagship pretrain)")
+_ap.add_argument("--no-attribution", action="store_true",
+                 help="skip the failed-theorem gold-path attribution pass")
+_ap.add_argument("--warmup", type=int, default=200,
+                 help="optimizer warmup steps (reference byt5 fine-tune "
+                 "uses 2000, retrieval/confs/cli_lean4_random.yaml:47)")
+_ap.add_argument("--skip-step0-eval", action="store_true",
+                 help="skip the step-0 retrieval eval (saves ~4 min at "
+                 "byt5 geometry in lr/warmup sweeps)")
 _ap.add_argument("--rag", default="trained",
                  choices=["trained", "none", "oracle", "random"],
                  help="retrieval-quality ablation: trained retriever / no "
@@ -165,8 +173,9 @@ def main():
             R100=round(m["Recall@100_val"], 2), MRR=round(m["MRR"], 4),
             eval_s=round(time.time() - t0, 1))
 
-    eval_retr(0)
-    tx = make_optimizer(_ARGS.lr, 200)
+    if not _ARGS.skip_step0_eval:
+        eval_retr(0)
+    tx = make_optimizer(_ARGS.lr, _ARGS.warmup)
     state = init_train_state(params, tx)
     loss_fn = retrieval_loss if _ARGS.loss == "mse" else retrieval_infonce_loss
     step = make_train_step(loss_fn, cfg, tx)
@@ -284,13 +293,45 @@ def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
     env = environment_from_dataset(val)
     tac_gen = make_tac_gen(gen_model)
     t0 = time.time()
-    pass_1 = evaluate(
+    pass_1, results = evaluate(
         DATA, env, tac_gen,
         split="val", num_theorems=200, num_sampled_tactics=8,
         timeout=120, max_expansions=10, num_workers=1,
+        return_results=True,
     )
     log(stage="prover", rag=tag, pass_1=round(pass_1, 4),
         minutes=round((time.time() - t0) / 60, 1))
+
+    # ---------------- failure attribution (gold-path replay) ---------
+    # For each failed theorem: retrieval_miss / prompt_overflow /
+    # generator_rank / search_budget at the first broken gold-path link
+    # (reprover_tpu/prover/attribution.py) — the three-bucket table
+    # VERDICT round-4 asked for.
+    from reprover_tpu.prover import attribute_failures
+    from reprover_tpu.prover.search_tree import Status
+
+    failed = [
+        r.theorem.full_name
+        for r in results
+        if r is not None and r.status != Status.PROVED
+    ]
+    if failed and not _ARGS.no_attribution:
+        t0 = time.time()
+        att = attribute_failures(
+            val, failed, tac_gen, num_samples=8, corpus=gdm.corpus
+        )
+        log(stage="attribution", rag=tag, counts=att["counts"],
+            failed=len(failed), seconds=round(time.time() - t0, 1))
+        for rec in att["records"][:20]:
+            step = (
+                rec.steps[rec.first_failing_step]
+                if rec.first_failing_step is not None
+                else None
+            )
+            log(stage="attribution_record", name=rec.full_name,
+                bucket=rec.bucket, step=rec.first_failing_step,
+                gold_rank=(step.worst_gold_rank if step else None),
+                beam_rank=(step.gold_beam_rank if step else None))
     return pass_1
 
 

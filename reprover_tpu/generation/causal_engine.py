@@ -52,6 +52,7 @@ from reprover_tpu.models.causal_lm import (
     _split,
     prefill,
 )
+from reprover_tpu.models.quantize import has_xla_int4 as _has_xla_int4
 
 
 # ------------------------------------------------------------------ #
@@ -241,8 +242,11 @@ def _causal_decode_step(
             state.dec_k,
             state.dec_v,
         ),
-        unroll=True,  # removes per-iteration scan cost (measured ~3 ms of
-        # the T5 engine step); decoder-only layer counts stay modest
+        # unroll removes per-iteration scan cost (measured ~3 ms of the T5
+        # engine step) — EXCEPT on the TP int4 path, where each unrolled
+        # layer's XLA dequant temp is a distinct live HBM buffer (measured
+        # chipless at 13B TP=2: 32.3 GB of temps; see has_xla_int4).
+        unroll=not _has_xla_int4(params["layers"]),
     )
     hh = _rms_norm(hh, params["final_norm"], cfg.rms_norm_eps)
     logits = _lm_logits(params, cfg, hh[:, 0, :])  # [S*K, V] fp32
@@ -315,15 +319,17 @@ class CausalStepwiseEngine(StepwiseEngineBase):
             # be GSPMD-partitioned) and the int8 dot partitions normally.
             # quantize="int4": packed 4-bit weights + per-group scales
             # quarter the stream — 13B-class on ONE chip, no TP needed.
-            # Single-device only (group scales don't shard along the
-            # packed contraction axis).
-            from reprover_tpu.models.quantize import quantize_causal_params
+            # Composes with TP too (13B int4 at TP=2 frees ~7 GB/chip for
+            # slots/beams): packed nibbles live on the K axis and the
+            # per-group scale shares the weight's axis semantics, so the
+            # spec builder shards q and scale in lockstep; kernel routing
+            # is off under GSPMD like int8.
+            from reprover_tpu.models.quantize import (
+                quantize_causal_params,
+                resolve_quantize_bits,
+            )
 
-            bits = 4 if quantize == "int4" else 8
-            if bits == 4 and mesh is not None:
-                raise NotImplementedError(
-                    "int4 serving is single-device; use int8 with TP"
-                )
+            bits = resolve_quantize_bits(quantize)
             params = quantize_causal_params(
                 params, kernel_ok=mesh is None, bits=bits
             )

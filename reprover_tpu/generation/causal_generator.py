@@ -60,10 +60,13 @@ class CausalTacticGeneratorModel:
             # lossless beams (role of vLLM's quantization options for the
             # decoder-only family, `/root/reference/prover/proof_search.py:332-366`).
             # "int4" quarters it (packed nibbles, per-group scales).
-            from reprover_tpu.models.quantize import quantize_causal_params
+            from reprover_tpu.models.quantize import (
+                quantize_causal_params,
+                resolve_quantize_bits,
+            )
 
             params = quantize_causal_params(
-                params, bits=4 if quantize == "int4" else 8
+                params, bits=resolve_quantize_bits(quantize)
             )
         self.params = params
         self.cfg = cfg

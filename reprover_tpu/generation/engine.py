@@ -243,10 +243,15 @@ def _engine_decode_step(
         hh = hh + _mlp_block(rms_norm(hh, lp["mlp_norm"], eps), lp["mlp"], cfg)
         return hh, (k_new.astype(k_cache.dtype), v_new.astype(v_cache.dtype))
 
+    from reprover_tpu.models.quantize import has_xla_int4
+
     hh, (k_news, v_news) = jax.lax.scan(
         layer, h,
         (dec["layers"], state.self_k, state.self_v, state.cross_k, state.cross_v),
-        unroll=True,  # few decoder layers; removes per-iteration scan cost
+        # unroll removes per-iteration scan cost (few decoder layers) —
+        # EXCEPT on the TP int4 path, where each unrolled layer's XLA
+        # dequant temp is a distinct live HBM buffer (see has_xla_int4).
+        unroll=not has_xla_int4(dec["layers"]),
     )
     hh = rms_norm(hh, dec["final_norm"], cfg.layer_norm_epsilon)
     logits = _lm_logits(params, cfg, hh.reshape(S * K, 1, -1))[:, 0, :]
@@ -1076,15 +1081,17 @@ class StepwiseBeamEngine(StepwiseEngineBase):
             # (kernel_ok=False — a pallas_call can't be GSPMD-partitioned)
             # and the int8 dot partitions like any XLA matmul.
             # quantize="int4" packs 4-bit weights with per-group scales
-            # (quarter weight HBM); single-device only — per-K-group
-            # scales don't shard along the packed contraction axis.
-            from reprover_tpu.models.quantize import quantize_t5_params
+            # (quarter weight HBM). Also composes with TP: the packed
+            # nibble axis is K and the per-group scale shares the weight's
+            # axis semantics, so column splits shard O on both and row
+            # splits shard K/2 and K/g in lockstep (spec builder mirrors
+            # Quant4Weight leaves; kernel routing off under GSPMD).
+            from reprover_tpu.models.quantize import (
+                quantize_t5_params,
+                resolve_quantize_bits,
+            )
 
-            bits = 4 if quantize == "int4" else 8
-            if bits == 4 and mesh is not None:
-                raise NotImplementedError(
-                    "int4 serving is single-device; use int8 with TP"
-                )
+            bits = resolve_quantize_bits(quantize)
             params = quantize_t5_params(
                 params, kernel_ok=mesh is None, bits=bits
             )

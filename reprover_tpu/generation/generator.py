@@ -123,10 +123,13 @@ class TacticGeneratorModel:
             # Weight-only int8: halves the HBM weight traffic that bounds
             # per-token decode (near-lossless per-channel quantization).
             # "int4" quarters it (packed nibbles, per-group scales).
-            from reprover_tpu.models.quantize import quantize_t5_params
+            from reprover_tpu.models.quantize import (
+                quantize_t5_params,
+                resolve_quantize_bits,
+            )
 
             params = quantize_t5_params(
-                params, bits=4 if quantize == "int4" else 8
+                params, bits=resolve_quantize_bits(quantize)
             )
         return cls(params, cfg, max_inp_seq_len, max_oup_seq_len, length_penalty)
 

@@ -88,6 +88,21 @@ class Quant4Weight(QuantWeight):
         return cls(*children, kernel_ok=kernel_ok, group=group)
 
 
+def resolve_quantize_bits(quantize: "bool | str") -> int:
+    """Map the user-facing ``quantize`` flag to a bit width, strictly.
+
+    ``True`` / ``"int8"`` -> 8 (w8a16), ``"int4"`` -> 4 (w4a16). Anything
+    else (``"INT4"``, ``"w4a16"``, ``"int16"`` typos) raises instead of
+    silently serving int8 — all serving entry points share this gate."""
+    if quantize is True or quantize == "int8":
+        return 8
+    if quantize == "int4":
+        return 4
+    raise ValueError(
+        f"quantize must be one of True, 'int8', 'int4'; got {quantize!r}"
+    )
+
+
 def _group_for(k: int, group: int) -> int:
     """Largest group size <= the requested one that divides K (halving —
     model dims are even; e.g. byt5's d_model 1472 lands on 64).
@@ -131,9 +146,13 @@ def quantize_weight4(
     )
 
 
-def dequantize4(w: Quant4Weight) -> jnp.ndarray:
-    """fp32 [..., K, O] reconstruction (the XLA serving path and the
-    pack/unpack round-trip oracle for tests)."""
+def dequantize4(
+    w: Quant4Weight, dtype: jnp.dtype = jnp.float32
+) -> jnp.ndarray:
+    """[..., K, O] reconstruction in ``dtype`` (the XLA serving path and
+    the pack/unpack round-trip oracle for tests). Serving passes bf16 so
+    the materialized dequant temp is half the fp32 one — under TP (where
+    the Pallas kernel is off) that temp is the per-layer HBM cost."""
     from reprover_tpu.ops.quant_matmul import unpack_int4
 
     w_int = unpack_int4(w.q)  # [..., K, O] int32
@@ -142,7 +161,7 @@ def dequantize4(w: Quant4Weight) -> jnp.ndarray:
     s_full = jnp.broadcast_to(
         s, (*lead, k // w.group, w.group, o)
     ).reshape(*lead, k, o)
-    return w_int.astype(jnp.float32) * s_full
+    return (w_int.astype(jnp.float32) * s_full).astype(dtype)
 
 
 def quantize_weight(w: jnp.ndarray, kernel_ok: bool = True) -> QuantWeight:
@@ -225,6 +244,15 @@ def _use_kernel4(x: jnp.ndarray, w: "Quant4Weight", dtype: jnp.dtype) -> bool:
         and m * kp * 2 * jnp.dtype(dtype).itemsize <= _KERNEL_MAX_X_BYTES
     ):
         return False
+    # K > 2048 with no legal contraction block (K % cand or the sublane
+    # rule cand % (8*group) fails for every candidate): the kernel would
+    # fall back to a whole-K tile whose materialized int32 unpack blows
+    # scoped VMEM at this size — route to the XLA dequant path instead of
+    # emitting a kernel that may fail to compile.
+    from reprover_tpu.ops.quant_matmul import _block_k4
+
+    if kp * 2 > 2048 and _block_k4(kp * 2, w.group) > 2048:
+        return False
     if FORCE_KERNEL is not None:
         return FORCE_KERNEL
     return jax.default_backend() == "tpu"
@@ -250,7 +278,7 @@ def _quant4_apply(
         return y.reshape(*lead, y.shape[-1])
     y = jnp.dot(
         x.astype(dtype),
-        dequantize4(w).astype(dtype),
+        dequantize4(w, dtype),
         preferred_element_type=jnp.float32,
     )
     return y.astype(out_dtype)
@@ -296,6 +324,29 @@ def quantized_logits(x: jnp.ndarray, w: QuantWeight, dtype: jnp.dtype) -> jnp.nd
         x.astype(dtype), w.q.astype(dtype), preferred_element_type=jnp.float32
     )
     return y * w.scale[..., 0, :].astype(jnp.float32)
+
+
+def has_xla_int4(tree: Any) -> bool:
+    """True when ``tree`` holds :class:`Quant4Weight` leaves that will take
+    the XLA dequant path (``kernel_ok=False`` — i.e. TP-sharded serving).
+
+    Engines use this to keep the decode layer scan ROLLED: with
+    ``unroll=True`` each unrolled layer's dequant temp is a distinct
+    simultaneously-live HBM buffer (measured chipless at 13B TP=2:
+    32.3 GB of per-layer dequant temps vs 15.75 GB HBM), while a rolled
+    scan reuses one layer's worth."""
+    found = False
+
+    def rec(node):
+        nonlocal found
+        if isinstance(node, dict):
+            for v in node.values():
+                rec(v)
+        elif isinstance(node, Quant4Weight) and not node.kernel_ok:
+            found = True
+
+    rec(tree)
+    return found
 
 
 _T5_MATMUL_KEYS = frozenset(

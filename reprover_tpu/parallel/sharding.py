@@ -29,15 +29,28 @@ def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 
 def _mirror_quant_specs(params: Any, specs: Any) -> Any:
-    """Mirror int8 ``QuantWeight`` nodes of ``params`` into a spec tree so
-    tree structures match for ``shard_pytree``/``device_put``. The scale
-    tensor is [..., 1, O]: it keeps the weight's output-channel sharding
-    (axis -1) and replicates the contracted axis (-2, size 1)."""
-    from reprover_tpu.models.quantize import QuantWeight
+    """Mirror quantized nodes of ``params`` into a spec tree so tree
+    structures match for ``shard_pytree``/``device_put``.
+
+    int8 ``QuantWeight``: the scale is [..., 1, O] — it keeps the weight's
+    output-channel sharding (axis -1) and replicates the contracted axis
+    (-2, size 1).
+
+    int4 ``Quant4Weight``: both ``q`` [..., K/2, O] (packed nibbles along
+    K) and ``scale`` [..., K/g, O] (per-K-group) share the logical
+    weight's axis semantics exactly, so both take the weight's own spec —
+    column-parallel shards O on both, row-parallel shards the packed K/2
+    and the K/g group axis in lockstep (group boundaries stay shard-local
+    at real geometries; GSPMD keeps odd tiny shapes correct regardless)."""
+    from reprover_tpu.models.quantize import Quant4Weight, QuantWeight
 
     def rec(p, s):
         if isinstance(p, dict):
             return {k: rec(p[k], s[k]) for k in p}
+        if isinstance(p, Quant4Weight):
+            return Quant4Weight(
+                q=s, scale=s, kernel_ok=p.kernel_ok, group=p.group
+            )
         if isinstance(p, QuantWeight):
             full = tuple(s) + (None,) * (p.q.ndim - len(tuple(s)))
             return QuantWeight(
@@ -226,8 +239,32 @@ def zero_partition_specs(
     return rec(params)
 
 
+def _legalize_spec(spec: P, shape: tuple, mesh: Mesh) -> P:
+    """Replicate any spec axis the array's shape doesn't divide evenly
+    (``device_put`` rejects uneven shardings). The engines assert the
+    divisibility that matters (num_heads/d_ff vs TP degree), so the only
+    leaves that ever land here are degenerate small tensors — e.g. a
+    ``Quant4Weight`` per-group scale whose K/group rows collapse below the
+    mesh size at toy geometry; replicating those is free."""
+    names = tuple(spec) + (None,) * (len(shape) - len(tuple(spec)))
+    out = []
+    for dim, name in zip(shape, names):
+        if name is None:
+            out.append(None)
+            continue
+        size = 1
+        for n in (name,) if isinstance(name, str) else name:
+            size *= mesh.shape[n]
+        out.append(name if dim % size == 0 else None)
+    return P(*out)
+
+
 def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
     """Place ``tree`` on ``mesh`` according to a matching spec pytree."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _legalize_spec(s, x.shape, mesh))
+        ),
+        tree,
+        specs,
     )

@@ -37,6 +37,12 @@ from reprover_tpu.prover.tactic_generator import (
 from reprover_tpu.prover.api_generator import ApiTacticGenerator
 from reprover_tpu.prover.distributed import DistributedProver
 from reprover_tpu.prover.evaluate import aggregate_pass1, evaluate, get_theorems
+from reprover_tpu.prover.attribution import (
+    StepAttribution,
+    TheoremAttribution,
+    attribute_failure,
+    attribute_failures,
+)
 from reprover_tpu.prover.service import (
     InferenceService,
     ServiceClient,
@@ -73,6 +79,10 @@ __all__ = [
     "TacticGenerator",
     "ApiTacticGenerator",
     "DistributedProver",
+    "StepAttribution",
+    "TheoremAttribution",
+    "attribute_failure",
+    "attribute_failures",
     "aggregate_pass1",
     "evaluate",
     "get_theorems",

@@ -118,8 +118,14 @@ def evaluate(
     save_results: bool = False,
     debug: bool = False,
     make_client: Any = None,
-) -> float:
-    """End-to-end prover evaluation -> Pass@1 (`evaluate.py:94-172`)."""
+    return_results: bool = False,
+) -> Any:
+    """End-to-end prover evaluation -> Pass@1 (`evaluate.py:94-172`).
+
+    ``return_results=True`` returns ``(pass_1, results)`` so callers (e.g.
+    the failure-attribution harness, :mod:`reprover_tpu.prover.attribution`)
+    can inspect per-theorem :class:`SearchResult` records without a pickle
+    round-trip."""
     theorems, positions = get_theorems(
         data_path, split, file_path, full_name, name_filter, num_theorems
     )
@@ -142,6 +148,8 @@ def evaluate(
         with open(pickle_path, "wb") as f:
             pickle.dump(results, f)
         logger.info("results saved to %s", pickle_path)
+    if return_results:
+        return pass_1, results
     return pass_1
 
 

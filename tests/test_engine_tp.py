@@ -318,3 +318,58 @@ def test_tp_int8_engine_matches_quantized_classic(t5_setup, causal_setup, family
     results = _collect_t5(engine, model)
     _assert_same(results[0], classic[texts[0]])
     _assert_same(results[1], classic[texts[1]])
+
+
+@pytest.mark.parametrize("family", ["t5", "causal"])
+def test_tp_int4_engine_matches_quantized_classic(t5_setup, causal_setup, family):
+    """TP x int4 composition (the remaining vLLM-quantization tier,
+    `/root/reference/prover/proof_search.py:345`): Quant4Weight leaves are
+    sharded over `model` — packed nibbles (K axis) and per-K-group scales
+    take the weight's own spec, so column splits shard O on both and row
+    splits shard K/2 and K/g in lockstep — and the engine must reproduce
+    the single-device int4 classic path's beams exactly."""
+    from reprover_tpu.models.quantize import (
+        Quant4Weight,
+        quantize_causal_params,
+        quantize_t5_params,
+    )
+
+    mesh = make_mesh(data=1, model=8 if family == "t5" else 2)
+    if family == "t5":
+        model, texts, _ = t5_setup
+        classic_model = TacticGeneratorModel(
+            quantize_t5_params(model.params, bits=4), T5_CFG,
+            max_inp_seq_len=SMAX, max_oup_seq_len=TDEC, bucket_multiple=SMAX,
+        )
+        classic = {
+            t: classic_model.generate([t], num_samples=K, max_length=TDEC)[0]
+            for t in texts[:2]
+        }
+        engine = model.make_stepwise_engine(
+            num_slots=2, num_beams=K, chunk_size=3, mesh=mesh, quantize="int4"
+        )
+        lm_head = engine.params["lm_head"]
+    else:
+        model, texts, _ = causal_setup
+        classic_model = CausalTacticGeneratorModel(
+            quantize_causal_params(model.params, bits=4), CAUSAL_CFG,
+            IdsTokenizer(), max_inp_seq_len=PMAX, max_oup_seq_len=TDEC,
+            template="%s", bucket_multiple=4,
+        )
+        classic = {
+            t: classic_model.generate([t], num_samples=K)[0] for t in texts[:2]
+        }
+        engine = model.make_stepwise_engine(
+            num_slots=2, num_beams=K, chunk_size=3, mesh=mesh, quantize="int4"
+        )
+        lm_head = engine.params["lm_head"]
+    # packed int4 weights really are sharded over the mesh's model axis
+    assert isinstance(lm_head, Quant4Weight) and not lm_head.kernel_ok
+    assert not lm_head.q.sharding.is_fully_replicated
+    if family == "t5":
+        _admit_t5_wave(engine, model, [0, 1], [texts[0], texts[1]])
+    else:
+        _admit_causal_wave(engine, model, [0, 1], [texts[0], texts[1]])
+    results = _collect_t5(engine, model)
+    _assert_same(results[0], classic[texts[0]])
+    _assert_same(results[1], classic[texts[1]])

@@ -446,21 +446,27 @@ def test_int4_causal_engine_matches_int4_classic():
         )
 
 
-def test_int4_tp_mesh_rejected():
-    """int4 is single-device by design (per-K-group scales don't shard
-    along the packed contraction axis) — the engine must say so, not
-    silently produce a broken sharding."""
+def test_quantize_flag_strict():
+    """The quantize flag is validated strictly at every serving entry
+    point: only True / 'int8' / 'int4' are legal — truthy typos ('INT4',
+    'w4a16', 'int16') must raise instead of silently serving int8."""
     import pytest
 
     from reprover_tpu.generation.engine import StepwiseBeamEngine
-    from reprover_tpu.parallel.mesh import make_mesh
+    from reprover_tpu.models.quantize import resolve_quantize_bits
+
+    assert resolve_quantize_bits(True) == 8
+    assert resolve_quantize_bits("int8") == 8
+    assert resolve_quantize_bits("int4") == 4
+    for bad in ("INT4", "w4a16", "int16", 1, "true"):
+        with pytest.raises(ValueError):
+            resolve_quantize_bits(bad)
 
     params = init_params(jax.random.PRNGKey(0), TINY)
-    mesh = make_mesh(model=2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         StepwiseBeamEngine(
             params, TINY, num_slots=2, num_beams=4, max_src_len=32,
-            max_decode_len=8, mesh=mesh, quantize="int4",
+            max_decode_len=8, quantize="INT4",
         )
 
 
