@@ -106,6 +106,14 @@ class Trainer:
 
                 if self.validate_fn and step % cfg.val_interval == 0:
                     metrics = self._validate(state, step)
+                    # Save regardless of whether the monitored key exists:
+                    # a task that validates a different metric (e.g.
+                    # pretraining's loss_val under the retrieval-default
+                    # monitor) must still persist its progress — the
+                    # manager keeps it as latest; best-tracking and early
+                    # stopping only engage when the monitor is present.
+                    if self.ckpt:
+                        self.ckpt.save(step, state, metrics)
                     current = metrics.get(cfg.monitor)
                     if current is not None:
                         improved = (
@@ -118,8 +126,6 @@ class Trainer:
                             checks_since_improvement = 0
                         else:
                             checks_since_improvement += 1
-                        if self.ckpt:
-                            self.ckpt.save(step, state, metrics)
                         if checks_since_improvement >= cfg.patience:
                             logger.info(
                                 "early stopping: no %s improvement in %d checks",

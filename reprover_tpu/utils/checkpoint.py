@@ -35,9 +35,15 @@ class CheckpointManager:
     ) -> None:
         self.monitor = monitor
         self.mode = mode
+        # best_fn must tolerate saves whose metrics lack the monitored key
+        # (e.g. a time-limit save between validations): rank them strictly
+        # worse than any real value instead of raising KeyError — that
+        # exact KeyError killed a round-4 pretrain chunk's final save AND
+        # its export, silently losing 21k steps of training.
+        worst = float("-inf") if mode == "max" else float("inf")
         options = ocp.CheckpointManagerOptions(
             max_to_keep=1 + keep_last_n,
-            best_fn=(lambda m: m[self.monitor]) if monitor else None,
+            best_fn=(lambda m: m.get(self.monitor, worst)) if monitor else None,
             best_mode=mode if monitor else "max",
             # keep the latest even when it is not the best (save_last)
             keep_checkpoints_without_metrics=True,

@@ -76,8 +76,28 @@ def _set_dotted_attr(obj: Any, dotted: str, value: Any) -> None:
     setattr(obj, keys[-1], value)
 
 
+def _field_default(f: dataclasses.Field) -> Any:
+    """The field's default INSTANCE (factory-built or literal), or None."""
+    if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+        return f.default_factory()  # type: ignore[misc]
+    if f.default is not dataclasses.MISSING and dataclasses.is_dataclass(
+        f.default
+    ):
+        return f.default
+    return None
+
+
 def _build(cls: Any, data: Dict[str, Any], prefix: str = "") -> Any:
-    """Instantiate a (nested) dataclass from a dict, type-checking keys."""
+    """Instantiate a (nested) dataclass from a dict, type-checking keys.
+
+    Nested overrides are layered ON TOP of the parent field's default
+    instance (``dataclasses.replace``), so a parent that customizes a
+    sub-config via ``default_factory`` keeps those customizations when the
+    CLI overrides only some of the sub-config's fields. (Regression:
+    ``--trainer.max_steps`` on the pretrain CLI silently reset its
+    ``monitor="loss_val"`` default back to the class's Recall@10_val,
+    which made every time-limited checkpoint save crash with KeyError —
+    losing 21k steps of a round-4 flagship pretrain.)"""
     hints = typing.get_type_hints(cls)
     kwargs: Dict[str, Any] = {}
     fields = {f.name: f for f in dataclasses.fields(cls)}
@@ -86,7 +106,17 @@ def _build(cls: Any, data: Dict[str, Any], prefix: str = "") -> Any:
             raise ValueError(f"unknown config key: {prefix}{key}")
         ann = hints[key]
         if _is_dataclass_type(ann) and isinstance(value, dict):
-            kwargs[key] = _build(ann, value, prefix=f"{prefix}{key}.")
+            built = _build(ann, value, prefix=f"{prefix}{key}.")
+            base = _field_default(fields[key])
+            if base is not None:
+                built = dataclasses.replace(
+                    base,
+                    **{
+                        k: getattr(built, k)
+                        for k in value  # only the explicitly-set keys
+                    },
+                )
+            kwargs[key] = built
         elif isinstance(value, str):
             kwargs[key] = _coerce(value, ann)
         else:

@@ -77,6 +77,37 @@ class TestConfig:
         _, cfg = parse_config(_Outer, ["--model.lr=0.25"])
         assert cfg.model.lr == 0.25
 
+    def test_custom_default_factory_survives_partial_override(self):
+        # Regression: a parent customizing a sub-config via default_factory
+        # must keep those customizations when the CLI overrides only SOME
+        # of the sub-config's fields. The round-4 flagship pretrain lost
+        # 21k steps to this: --trainer.max_steps reset monitor back to the
+        # class default, and every time-limited checkpoint save then
+        # crashed with KeyError('Recall@10_val').
+        @dataclasses.dataclass
+        class _Custom:
+            model: _Inner = dataclasses.field(
+                default_factory=lambda: _Inner(name="loss_val", lr=0.5)
+            )
+
+        _, cfg = parse_config(_Custom, ["--model.steps", "7"])
+        assert cfg.model.steps == 7
+        assert cfg.model.name == "loss_val"  # customized default preserved
+        assert cfg.model.lr == 0.5
+
+    def test_pretrain_trainer_monitor_survives_cli_overrides(self):
+        # The exact production shape of the regression above.
+        from reprover_tpu.training.pretrain import PretrainConfig
+
+        _, cfg = parse_config(
+            PretrainConfig,
+            ["fit", "--trainer.max_steps", "70000",
+             "--trainer.time_limit_s", "5403", "--trainer.resume", "true"],
+        )
+        assert cfg.trainer.monitor == "loss_val"
+        assert cfg.trainer.monitor_mode == "min"
+        assert cfg.trainer.max_steps == 70000
+
 
 # ------------------------------------------------------------------ #
 # Trainer: fit + checkpoint + early stopping on a synthetic task
@@ -159,6 +190,26 @@ class TestTrainer:
         final = trainer.fit(state, loader)
         assert int(np.asarray(final.step)) == 1
         assert trainer.ckpt is not None and trainer.ckpt.latest_step() == 1
+
+    def test_saves_when_monitor_key_absent(self, tmp_path):
+        # A task validating a DIFFERENT metric than the configured monitor
+        # (e.g. pretraining's loss_val under a Recall@10_val monitor) must
+        # still persist periodic + final checkpoints — the manager keeps
+        # them as latest; best-tracking simply never engages. Regression
+        # for the round-4 KeyError that dropped a 21k-step pretrain save.
+        trainer, state, loader, writer = self._make(
+            tmp_path, patience=99, max_steps=12, metric_seq=[1, 2, 3]
+        )
+        trainer.config.monitor = "not_a_metric_we_emit"
+        final = trainer.fit(state, loader)
+        assert int(np.asarray(final.step)) == 12
+        assert trainer.ckpt is not None
+        assert trainer.ckpt.latest_step() == 12
+        # periodic saves (val_interval=5) committed too, not just the final
+        from reprover_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        assert mgr.latest_step() == 12
 
     def test_checkpoint_restore(self, tmp_path):
         trainer, state, loader, writer = self._make(
