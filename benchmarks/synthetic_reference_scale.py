@@ -60,6 +60,18 @@ _ap.add_argument("--geometry", default="d256", choices=["d256", "byt5"],
                  "~300M — pair with --init-hf from a flagship pretrain)")
 _ap.add_argument("--no-attribution", action="store_true",
                  help="skip the failed-theorem gold-path attribution pass")
+_ap.add_argument("--save-models", action="store_true",
+                 help="pickle the trained retriever/generator params under "
+                 "--root so --from-saved can rerun the prover stage alone")
+_ap.add_argument("--from-saved", action="store_true",
+                 help="skip retriever/generator training: load the params "
+                 "pickles + predictions from --root and go straight to the "
+                 "prover (fast attribution-driven intervention reruns)")
+_ap.add_argument("--prover-expansions", type=int, default=10)
+_ap.add_argument("--prover-beams", type=int, default=8,
+                 help="num_sampled_tactics for the prover stage")
+_ap.add_argument("--prover-timeout", type=int, default=120)
+_ap.add_argument("--prover-theorems", type=int, default=200)
 _ap.add_argument("--warmup", type=int, default=200,
                  help="optimizer warmup steps (reference byt5 fine-tune "
                  "uses 2000, retrieval/confs/cli_lean4_random.yaml:47)")
@@ -110,6 +122,20 @@ def make_data():
     log(stage="data", hard=_ARGS.hard, seconds=round(time.time() - t0, 1))
 
 
+def _save_params(params, path):
+    import numpy as _np
+
+    with open(path, "wb") as f:
+        pickle.dump(jax.tree.map(lambda x: _np.asarray(x), params), f)
+    log(stage="save_params", path=path)
+
+
+def _load_params(path):
+    with open(path, "rb") as f:
+        host = pickle.load(f)
+    return jax.tree.map(jnp.asarray, host)
+
+
 def main():
     make_data()
 
@@ -145,6 +171,29 @@ def main():
 
     if _ARGS.rag in ("none", "oracle", "random"):
         return run_ablation(dm)
+
+    if _ARGS.from_saved:
+        from reprover_tpu.prover import (
+            LocalTacticGenerator,
+            RetrievalAugmentedTacticGenerator,
+        )
+
+        retriever = PremiseRetriever(
+            _load_params(f"{ROOT}/retriever_params.pkl"), icfg,
+            max_seq_len=SEQ, num_retrieved=NUM_RETRIEVED,
+        )
+        retriever.load_corpus(dm.corpus)
+        retriever.mark_stale()
+        log(stage="from_saved", note="retriever params + predictions reused")
+        generator_and_prover(
+            f"{ROOT}/predictions.pickle",
+            lambda gen_model: RetrievalAugmentedTacticGenerator(
+                LocalTacticGenerator(gen_model), retriever,
+                max_inp_seq_len=SEQ, max_num_retrieved=NUM_RETRIEVED,
+            ),
+            tag="trained",
+        )
+        return
 
     if _ARGS.init_hf:
         from reprover_tpu.models import load_hf_t5
@@ -196,6 +245,8 @@ def main():
                 done = True
                 break
 
+    if _ARGS.save_models:
+        _save_params(state.params, f"{ROOT}/retriever_params.pkl")
     if _ARGS.retriever_only:
         log(stage="done", note="retriever-only run")
         return
@@ -256,32 +307,40 @@ def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
         preds_path=preds_path,
     )
     gdm.setup("fit")
-    if _ARGS.init_hf:
-        from reprover_tpu.models import load_hf_t5
-
-        gparams, _ = load_hf_t5(_ARGS.init_hf)
-        log(stage="generator_init", source=_ARGS.init_hf)
+    gen_pkl = f"{ROOT}/generator_params_{tag}.pkl"
+    if _ARGS.from_saved and os.path.exists(gen_pkl):
+        gen_params = _load_params(gen_pkl)
+        log(stage="generator_from_saved", path=gen_pkl)
     else:
-        gparams = init_params(jax.random.PRNGKey(1), cfg)
-    gtx = make_optimizer(3e-4, 200)
-    gstate = init_train_state(gparams, gtx)
-    gstep = make_train_step(generation_loss, cfg, gtx)
-    n = 0
-    t0 = time.time()
-    done = False
-    while not done:
-        for batch in gdm.train_dataloader():
-            gstate, gloss = gstep(gstate, numeric_batch(batch))
-            n += 1
-            if n % 200 == 0:
-                log(stage="generation_train", rag=tag, step=n,
-                    loss=float(gloss), sps=round(n / (time.time() - t0), 2))
-            if n >= GEN_STEPS:
-                done = True
-                break
+        if _ARGS.init_hf:
+            from reprover_tpu.models import load_hf_t5
+
+            gparams, _ = load_hf_t5(_ARGS.init_hf)
+            log(stage="generator_init", source=_ARGS.init_hf)
+        else:
+            gparams = init_params(jax.random.PRNGKey(1), cfg)
+        gtx = make_optimizer(3e-4, 200)
+        gstate = init_train_state(gparams, gtx)
+        gstep = make_train_step(generation_loss, cfg, gtx)
+        n = 0
+        t0 = time.time()
+        done = False
+        while not done:
+            for batch in gdm.train_dataloader():
+                gstate, gloss = gstep(gstate, numeric_batch(batch))
+                n += 1
+                if n % 200 == 0:
+                    log(stage="generation_train", rag=tag, step=n,
+                        loss=float(gloss), sps=round(n / (time.time() - t0), 2))
+                if n >= GEN_STEPS:
+                    done = True
+                    break
+        gen_params = gstate.params
+        if _ARGS.save_models:
+            _save_params(gen_params, gen_pkl)
 
     gen_model = TacticGeneratorModel(
-        gstate.params, icfg, max_inp_seq_len=SEQ, max_oup_seq_len=64
+        gen_params, icfg, max_inp_seq_len=SEQ, max_oup_seq_len=64
     )
     gm = gen_val(gen_model, gdm.val_dataloader(), num_beams=4, limit_batches=8)
     log(stage="generation_eval", rag=tag,
@@ -295,8 +354,10 @@ def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
     t0 = time.time()
     pass_1, results = evaluate(
         DATA, env, tac_gen,
-        split="val", num_theorems=200, num_sampled_tactics=8,
-        timeout=120, max_expansions=10, num_workers=1,
+        split="val", num_theorems=_ARGS.prover_theorems,
+        num_sampled_tactics=_ARGS.prover_beams,
+        timeout=_ARGS.prover_timeout,
+        max_expansions=_ARGS.prover_expansions, num_workers=1,
         return_results=True,
     )
     log(stage="prover", rag=tag, pass_1=round(pass_1, 4),
@@ -318,7 +379,8 @@ def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
     if failed and not _ARGS.no_attribution:
         t0 = time.time()
         att = attribute_failures(
-            val, failed, tac_gen, num_samples=8, corpus=gdm.corpus
+            val, failed, tac_gen, num_samples=_ARGS.prover_beams,
+            corpus=gdm.corpus,
         )
         log(stage="attribution", rag=tag, counts=att["counts"],
             failed=len(failed), seconds=round(time.time() - t0, 1))
