@@ -54,7 +54,8 @@ _ap.add_argument("--hard", action="store_true",
                  help="un-saturated benchmark (opaque premise names, "
                  "pattern-keyed goals, distractor families, deeper proofs "
                  "— scripts/make_synthetic_benchmark.py --hard)")
-_ap.add_argument("--geometry", default="d256", choices=["d256", "byt5"],
+_ap.add_argument("--geometry", default="d256",
+                 choices=["d256", "d512", "byt5"],
                  help="model geometry: d256 (from-scratch-learnable, the "
                  "quality-run default) or byt5 (flagship google/byt5-small "
                  "~300M — pair with --init-hf from a flagship pretrain)")
@@ -75,6 +76,9 @@ _ap.add_argument("--prover-theorems", type=int, default=200)
 _ap.add_argument("--warmup", type=int, default=200,
                  help="optimizer warmup steps (reference byt5 fine-tune "
                  "uses 2000, retrieval/confs/cli_lean4_random.yaml:47)")
+_ap.add_argument("--no-flash", action="store_true",
+                 help="byt5 geometry: train with naive attention instead "
+                 "of the Pallas flash kernels (bug-isolation A/B)")
 _ap.add_argument("--skip-step0-eval", action="store_true",
                  help="skip the step-0 retrieval eval (saves ~4 min at "
                  "byt5 geometry in lr/warmup sweeps)")
@@ -403,14 +407,23 @@ def model_cfgs():
     if _ARGS.geometry == "byt5":
         # flagship: remat mandatory on 16 GB v5e; flash fwd+bwd eligible
         on_tpu = jax.default_backend() == "tpu"
+        use_flash = on_tpu and not _ARGS.no_flash
         cfg = byt5_small(
             compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
             remat=True, remat_policy="lite",
-            flash_encoder=on_tpu, flash_decoder=on_tpu,
+            flash_encoder=use_flash, flash_decoder=use_flash,
         )
         return cfg, dataclasses.replace(
             cfg, remat=False, unroll_encoder=on_tpu
         )
+    if _ARGS.geometry == "d512":
+        # the scaling-study midpoint between d256 (works) and byt5 (~300M)
+        cfg = T5Config(
+            d_model=512, d_kv=64, d_ff=2048, num_heads=8,
+            num_encoder_layers=8, num_decoder_layers=8,
+            compute_dtype=jnp.bfloat16, remat=False,
+        )
+        return cfg, dataclasses.replace(cfg, flash_encoder=True)
     cfg = T5Config(
         d_model=256, d_kv=32, d_ff=1024, num_heads=8,
         num_encoder_layers=4, num_decoder_layers=4,
