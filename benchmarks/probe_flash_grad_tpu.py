@@ -73,10 +73,14 @@ def main() -> None:
     for k in g_f:
         a, b = g_f[k], g_n[k]
         na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-12 and nb < 1e-12:
+            continue  # leaf untouched by the loss on both sides (decoder)
         cos = float(a @ b / (na * nb)) if na > 0 and nb > 0 else float("nan")
         ratio = float(na / nb) if nb > 0 else float("inf")
-        if not (0.98 < cos <= 1.0001) or not (0.9 < ratio < 1.1):
-            print(f"  MISMATCH {k}: cos={cos:.4f} norm_ratio={ratio:.4f}")
+        tag = "MISMATCH" if (not (0.98 < cos <= 1.0001)
+                             or not (0.9 < ratio < 1.1)) else "ok"
+        print(f"  {tag} {k}: cos={cos:.5f} norm_ratio={ratio:.4f} "
+              f"|flash|={na:.3e} |naive|={nb:.3e}")
         worst = min(worst, cos if cos == cos else -1)
     print(f"worst grad cosine across leaves: {worst:.5f}")
     print("VERDICT:", "PARITY" if worst > 0.98 and abs(v_f - v_n) < 3e-3

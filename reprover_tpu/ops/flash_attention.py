@@ -218,7 +218,17 @@ def _encoder_attn_kernel(
             t = _bias_tile(bucket, lambda b: rel_vec[b], num_buckets)
             bias_ref[h] = t if causal_term is None else t + causal_term
 
-    mask_bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, L]
+    # Mask handling rides the MXU, not the VPU (round-5 VPU diet; the
+    # softmax VPU share was 24% of the headline embed step):
+    # - no [BQ, L] mask-bias add before the max — p keeps (worthless but
+    #   harmless) mass at masked columns; the max over them only raises m,
+    #   which cancels in the normalization;
+    # - masked columns are excluded from the NUMERATOR by zeroing v's rows
+    #   (one [L, d] pass per head, L/BQ-fold cheaper than a [BQ, L] add)
+    #   and from the DENOMINATOR by l = p @ mask01 (an MXU matvec instead
+    #   of a VPU row-sum).
+    # Per (cell, head) this drops the [BQ, L] VPU passes from ~6 to ~4.
+    mask01 = jnp.where(mask_ref[0] != 0, 1.0, 0.0)  # [1, L] fp32
 
     for h in range(num_heads):
         qh = q_ref[0, :, h * d : (h + 1) * d]
@@ -233,18 +243,29 @@ def _encoder_attn_kernel(
             preferred_element_type=jnp.float32,
         )  # [BQ, L] fp32
 
-        scores += bias_ref[h] + mask_bias
+        scores += bias_ref[h]
 
         # Exact fp32 softmax (full row resident in VMEM). The 1/l
         # normalization rides the [BQ, d] output instead of the [BQ, L]
         # probs tile (L-fold fewer divisions, same math).
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        l = jax.lax.dot_general(
+            p,
+            mask01,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, 1] — masked columns excluded on the MXU
+        # Fully-masked (padding) rows: l == 0; the old NEG_INF path gave
+        # them finite garbage, this one must not emit inf/nan (the
+        # masked-mean pooling downstream multiplies by 0 but nan*0=nan).
+        l = jnp.maximum(l, 1e-20)
 
         out_ref[0, :, h * d : (h + 1) * d] = (
             jnp.dot(
-                p.astype(vh.dtype), vh, preferred_element_type=jnp.float32
+                p.astype(vh.dtype),
+                vh * mask01.reshape(kv_len, 1).astype(vh.dtype),
+                preferred_element_type=jnp.float32,
             )
             / l
         ).astype(out_ref.dtype)
