@@ -36,7 +36,7 @@ from reprover_tpu.ops.pooling import masked_mean_normalize
 from reprover_tpu.tokenizer import ByT5Tokenizer
 
 CORPUS = "/tmp/synth_hard_scale/data/corpus.jsonl"
-EXPORT = "/tmp/pretrain_byt5_export"
+EXPORT = os.environ.get("EXPORT_DIR", "/tmp/pretrain_byt5_export")
 N, L = 48, 192
 
 

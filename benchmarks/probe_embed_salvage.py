@@ -30,7 +30,7 @@ from reprover_tpu.models.t5 import T5Config, byt5_small, encode, init_params
 from reprover_tpu.tokenizer import ByT5Tokenizer
 
 ROOT = "/tmp/synth_hard_scale"
-EXPORT = "/tmp/pretrain_byt5_export"
+EXPORT = os.environ.get("EXPORT_DIR", "/tmp/pretrain_byt5_export")
 NQ, NP, L = 32, 96, 192
 
 
