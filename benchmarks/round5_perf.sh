@@ -21,10 +21,9 @@ run() {
   echo "=== $(date +%H:%M:%S) DONE  $name rc=$?" >&2
 }
 
-# wait for the main queue to release the chip
-if [ -f /tmp/r5_main.pid ]; then
-  while kill -0 "$(cat /tmp/r5_main.pid)" 2>/dev/null; do sleep 60; done
-fi
+# wait for the attribution-intervention stage to release the chip
+while [ ! -f /tmp/r5_attrfix.pid ]; do sleep 60; done
+while kill -0 "$(cat /tmp/r5_attrfix.pid)" 2>/dev/null; do sleep 60; done
 
 # P1 — 7B int4 streaming service under load (two passes inside: the
 # second is steady-state)
