@@ -47,6 +47,13 @@ class TrainerConfig:
     # final validation/checkpoint/export still run — unlike an external
     # `timeout` kill, which would drop everything since the last save.
     time_limit_s: Optional[float] = None
+    # Divergence guard (reprover_tpu.training.health): abort with
+    # DivergenceError when the loss EMA stays above factor x its running
+    # min for `divergence_patience` consecutive log windows — the warmup-
+    # peak blow-up that silently poisoned the round-4 flagship pretrain.
+    # None disables.
+    divergence_factor: Optional[float] = None
+    divergence_patience: int = 6
 
 
 class Trainer:
@@ -81,6 +88,14 @@ class Trainer:
 
         best = -math.inf if cfg.monitor_mode == "max" else math.inf
         checks_since_improvement = 0
+        guard = None
+        if cfg.divergence_factor is not None:
+            from reprover_tpu.training.health import DivergenceGuard
+
+            guard = DivergenceGuard(
+                factor=cfg.divergence_factor,
+                patience=cfg.divergence_patience,
+            )
         t_start = time.monotonic()
         t_last = t_start
         done = False
@@ -100,9 +115,14 @@ class Trainer:
                     now = time.monotonic()
                     sps = cfg.log_interval / (now - t_last)
                     t_last = now
+                    loss_f = float(loss)
                     self.writer.write(
-                        step, {"loss": float(loss), "steps_per_sec": sps}
+                        step, {"loss": loss_f, "steps_per_sec": sps}
                     )
+                    if guard is not None:
+                        # Raises DivergenceError: better a non-zero exit than
+                        # exporting a silently-poisoned checkpoint.
+                        guard.update(step, loss_f)
 
                 if self.validate_fn and step % cfg.val_interval == 0:
                     metrics = self._validate(state, step)

@@ -223,6 +223,9 @@ class PretrainModelConfig:
     tiny: bool = False
     remat: bool = True
     offload_optimizer: bool = False
+    # Bug-isolation A/B (--model.flash false): pretrain with naive attention
+    # even where the Pallas fwd+bwd kernels are eligible (d_kv >= 64 on TPU).
+    flash: bool = True
     # Custom geometry (None -> google/byt5-small value). The reference-scale
     # quality runs use d_model 256 / 4+4 layers (the from-scratch-learnable
     # size, benchmarks/synthetic_reference_scale.py) — pretraining must match
@@ -269,6 +272,9 @@ def _default_trainer() -> TrainerConfig:
         monitor="loss_val",
         monitor_mode="min",
         patience=10,
+        # Pretraining is where the warmup-peak blow-up happened (round 4:
+        # lr 1e-3 at 300M — see training/health.py); guard on by default.
+        divergence_factor=1.5,
     )
 
 
@@ -332,6 +338,7 @@ def run_fit(cfg: PretrainConfig) -> None:
         model_cfg = dataclasses.replace(model_cfg, remat=True)
     if (
         on_tpu
+        and cfg.model.flash
         and model_cfg.d_kv >= 64
         and not (cfg.data_parallel and len(jax.devices()) > 1)
     ):
@@ -370,14 +377,36 @@ def run_fit(cfg: PretrainConfig) -> None:
     writer.write_hparams(config_to_dict(cfg))
     val_batches = dm.val_batches()
 
-    def validate(train_state, step):
-        from reprover_tpu.training.tasks import numeric_batch
+    # Representation-health probe (training/health.py): pooled-embedding
+    # effective rank of one fixed val batch, logged every validation — a
+    # healthy encoder probes >> 1, the round-4 collapsed lineage ~1.2.
+    from reprover_tpu.models.t5 import encode as _encode
+    from reprover_tpu.ops.pooling import masked_mean_normalize
+    from reprover_tpu.training.health import embedding_eff_rank
+    from reprover_tpu.training.tasks import numeric_batch
 
+    @jax.jit
+    def _probe_embed(params, ids, mask):
+        return masked_mean_normalize(_encode(params, model_cfg, ids, mask), mask)
+
+    probe_batch = numeric_batch(val_batches[0]) if val_batches else None
+
+    def validate(train_state, step):
         losses = [
             float(eval_step(train_state.params, numeric_batch(b)))
             for b in val_batches
         ]
-        return {"loss_val": float(np.mean(losses))}
+        metrics = {"loss_val": float(np.mean(losses))}
+        if probe_batch is not None:
+            emb = np.asarray(
+                _probe_embed(
+                    train_state.params,
+                    probe_batch["state_ids"],
+                    probe_batch["state_mask"],
+                )
+            )
+            metrics["emb_eff_rank"] = embedding_eff_rank(emb)
+        return metrics
 
     trainer = Trainer(cfg.trainer, step_fn, writer, validate_fn=validate)
     state = trainer.fit(state, dm.train_dataloader())

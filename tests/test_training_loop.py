@@ -498,3 +498,91 @@ class TestTextTables:
         assert step == 5 and key == "val_samples"
         assert [r["state"] for r in rows] == states
         assert all({"state", "ground_truth", "prediction"} <= set(r) for r in rows)
+
+
+class TestTrainingHealth:
+    """DivergenceGuard + embedding effective rank (training/health.py) —
+    the round-4 warmup-peak-divergence lesson turned into product code."""
+
+    def test_guard_flags_the_measured_r4_curve_shape(self):
+        from reprover_tpu.training.health import DivergenceError, DivergenceGuard
+
+        # r4_pretrain_byt5.err shape: descend to ~1.23, climb past 1.9
+        losses = [1.86, 1.64, 1.44, 1.29, 1.28, 1.25, 1.23, 1.35, 1.38,
+                  1.58, 1.63, 1.87, 1.90, 1.91, 1.95, 1.86, 1.85, 1.98, 2.12,
+                  2.05, 2.11, 2.02]  # r4 log continues ~2.0-2.1
+        guard = DivergenceGuard(factor=1.5, patience=5)
+        with pytest.raises(DivergenceError, match="diverged"):
+            for i, loss in enumerate(losses):
+                guard.update(step=50 * (i + 1), loss=loss)
+
+    def test_guard_quiet_on_noisy_flat_and_descending_loss(self):
+        from reprover_tpu.training.health import DivergenceGuard
+
+        rng = np.random.default_rng(0)
+        guard = DivergenceGuard(factor=1.5, patience=5)
+        # descending with 20% multiplicative noise, then a flat noisy tail
+        for i in range(200):
+            base = max(0.2, 2.0 * (0.98**i))
+            guard.update(step=50 * (i + 1), loss=base * rng.uniform(0.8, 1.2))
+
+    def test_guard_raises_immediately_on_nonfinite(self):
+        from reprover_tpu.training.health import DivergenceError, DivergenceGuard
+
+        guard = DivergenceGuard()
+        with pytest.raises(DivergenceError, match="non-finite"):
+            guard.update(step=50, loss=float("nan"))
+
+    def test_eff_rank_separates_collapsed_from_isotropic(self):
+        from reprover_tpu.training.health import embedding_eff_rank
+
+        rng = np.random.default_rng(0)
+        direction = rng.normal(size=(1, 64))
+        collapsed = direction * rng.uniform(0.9, 1.1, size=(32, 1))
+        collapsed += 1e-4 * rng.normal(size=(32, 64))
+        isotropic = rng.normal(size=(32, 64))
+        r_collapsed = embedding_eff_rank(collapsed)
+        r_iso = embedding_eff_rank(isotropic)
+        assert r_collapsed < 2.0, r_collapsed
+        assert r_iso > 16.0, r_iso
+
+    def test_trainer_aborts_on_divergence(self, tmp_path):
+        import jax.numpy as jnp
+
+        from reprover_tpu.training.health import DivergenceError
+        from reprover_tpu.training.loop import Trainer, TrainerConfig
+        from reprover_tpu.training.tasks import TrainState
+        from reprover_tpu.utils.metrics import MetricWriter
+
+        class Recorder(MetricWriter):
+            def __init__(self):
+                self.records = []
+
+            def write(self, step, scalars):
+                self.records.append((step, dict(scalars)))
+
+        # loss descends for 60 steps then blows up (w *= 1.1 past a floor)
+        def step_fn(state, batch):
+            step = int(np.asarray(state.step))
+            factor = 0.9 if step < 60 else 1.15
+            new_params = {"w": state.params["w"] * factor}
+            return (
+                TrainState(state.step + 1, new_params, state.opt_state),
+                jnp.asarray(float(np.abs(np.asarray(new_params["w"])).sum())),
+            )
+
+        trainer = Trainer(
+            TrainerConfig(
+                max_steps=10_000, val_interval=10_000, log_interval=5,
+                divergence_factor=1.5, divergence_patience=4,
+            ),
+            step_fn,
+            Recorder(),
+        )
+        state = TrainState(
+            jnp.zeros((), jnp.int32), {"w": jnp.ones((4,))},
+            {"dummy": jnp.zeros(())},
+        )
+        loader = [{"x": np.zeros((2, 2), np.float32)}] * 10_000
+        with pytest.raises(DivergenceError):
+            trainer.fit(state, loader)
