@@ -221,9 +221,21 @@ def main():
         m = validation_metrics(
             retriever, dm.val_dataloader(), num_retrieved=NUM_RETRIEVED
         )
+        # Representation health, live (training/health.py): the round-4
+        # collapse probed eff-rank ~1.2 vs ~18 healthy — surface it per eval.
+        from reprover_tpu.training.health import embedding_eff_rank
+
+        eff = float("nan")
+        if retriever.corpus_embeddings is not None:
+            import numpy as _np
+
+            eff = embedding_eff_rank(
+                _np.asarray(retriever.corpus_embeddings[:512])
+            )
         log(stage="retrieval_eval", step=step,
             R1=round(m["Recall@1_val"], 2), R10=round(m["Recall@10_val"], 2),
             R100=round(m["Recall@100_val"], 2), MRR=round(m["MRR"], 4),
+            emb_eff_rank=round(eff, 2),
             eval_s=round(time.time() - t0, 1))
 
     if not _ARGS.skip_step0_eval:
