@@ -288,6 +288,13 @@ class StreamingInferenceService(InferenceService):
                 "admissions": 0,
                 "fallbacks": 0,
                 "loops": 0,
+                # Slot utilization: host-side occupancy sampled at each run
+                # dispatch (slot_busy / slot_cap = mean fraction of engine
+                # slots decoding; occupancy can change within a horizon, so
+                # this is the dispatch-time approximation).
+                "slot_busy": 0.0,
+                "slot_cap": 0.0,
+                "admit_wait": 0.0,
                 "status_time": 0.0,
                 "admit_time": 0.0,
                 "admit_tok_time": 0.0,
@@ -485,6 +492,7 @@ class StreamingInferenceService(InferenceService):
                         continue
                     if kind == "req":
                         (req,) = payload
+                        req._arrived = time.monotonic()  # admission-wait t0
                         self.stats.setdefault(
                             "first_req_ts", time.monotonic()
                         )
@@ -545,6 +553,7 @@ class StreamingInferenceService(InferenceService):
                         )
                         slots = free[: len(admissible)]
                         self._admit_wave(slots, states)
+                        now = time.monotonic()
                         for req, slot in zip(admissible, slots):
                             self._slot_req[slot] = req
                             occupied[slot] = True
@@ -553,6 +562,11 @@ class StreamingInferenceService(InferenceService):
                             pending_release[slot] = False
                             barrier[slot] = seq
                             self.stats["admissions"] += 1
+                            # Queueing delay arrival -> slot (admission
+                            # latency; mean = admit_wait / admissions).
+                            self.stats["admit_wait"] += now - getattr(
+                                req, "_arrived", now
+                            )
                     except Exception as ex:
                         for req in admissible:
                             self._response_qs[req.client_id].put(
@@ -585,6 +599,13 @@ class StreamingInferenceService(InferenceService):
                     seq += 1
                     in_flight += 1
                     self.stats["chunks"] += 1
+                    self.stats["slot_busy"] += float(
+                        sum(
+                            occupied[s] and s not in awaiting_fin
+                            for s in range(S)
+                        )
+                    )
+                    self.stats["slot_cap"] += float(S)
         finally:
             inner_stop.set()
             for t in threads:
