@@ -25,16 +25,16 @@ run() {
 while [ ! -f /tmp/r5_attrfix.pid ]; do sleep 60; done
 while kill -0 "$(cat /tmp/r5_attrfix.pid)" 2>/dev/null; do sleep 60; done
 
-# P1 — 7B int4 streaming service under load (two passes inside: the
-# second is steady-state)
-run service_7b_int4 9000 python benchmarks/service_load.py \
-  --llama7b --bits 4 --num-theorems 24
-
-# P2 — latency realism at the default service geometry (byt5-small random
-# weights, streaming cells): 2 s scripted env waits, vs the instant-replay
-# streaming rows already in BASELINE.
+# P2 first (cheap: compiles cached from the round-4 service rows) —
+# latency realism at the default service geometry: 2 s scripted env waits,
+# 16 workers, streaming cells; compare vs the instant-replay rows.
 run service_envlat2s 7200 python benchmarks/service_load.py \
   --quick --streaming-only --env-latency 2.0
+
+# P1 — 7B int4 streaming service under load (two passes inside: the
+# second is steady-state; compile-heavy)
+run service_7b_int4 9000 python benchmarks/service_load.py \
+  --llama7b --bits 4 --num-theorems 24
 
 # P3 — reorder crossover sweep (runs its own cells; see the script)
 bash benchmarks/round5_reorder_sweep.sh
