@@ -26,35 +26,64 @@ A100_REFERENCE_PREMISES_PER_SEC = 200.0
 SEQ_LEN = 1024
 
 
+def _die(reason: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "embed_throughput",
+                "value": 0.0,
+                "unit": "premises/sec",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        ),
+        flush=True,
+    )
+    sys.exit(1)
+
+
 def _init_devices_or_die():
     """First device touch, guarded. With the axon relay down, the TPU
     plugin's backend init retries forever inside native code (CLAUDE.md —
-    not even SIGALRM can interrupt it), so probe the relay endpoint
-    (`jax.devices()` goes via :8083 on PALLAS_AXON_POOL_IPS; see the
-    plugin's register/pjrt.py) BEFORE initializing and fail loudly
-    instead of hanging the driver's bench run."""
+    not even SIGALRM can interrupt it), so probe BEFORE initializing and
+    fail loudly instead of hanging the driver's bench run. Two layers:
+    a fast TCP check of the relay endpoint, then a SUBPROCESS init probe
+    with a hard timeout — the 2026-08-19 outage showed the local tunnel
+    endpoint can keep accepting TCP while the relay behind it is dead,
+    which only the real `jax.devices()` attempt detects."""
     import os
     import socket
+    import subprocess
 
     if os.environ.get("JAX_PLATFORMS", "") == "axon":
         host = os.environ.get("PALLAS_AXON_POOL_IPS", "127.0.0.1").split(",")[0]
         try:
             socket.create_connection((host, 8083), timeout=10).close()
         except OSError as e:
-            print(
-                json.dumps(
-                    {
-                        "metric": "embed_throughput",
-                        "value": 0.0,
-                        "unit": "premises/sec",
-                        "vs_baseline": 0.0,
-                        "error": f"TPU relay {host}:8083 unreachable ({e}); "
-                        "device init would hang forever",
-                    }
-                ),
-                flush=True,
+            _die(
+                f"TPU relay {host}:8083 unreachable ({e}); "
+                "device init would hang forever"
             )
-            sys.exit(1)
+        try:
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; d = jax.devices(); "
+                    "raise SystemExit(0 if d and d[0].platform == 'tpu' else 3)",
+                ],
+                timeout=240,
+            )
+            if r.returncode != 0:
+                _die(
+                    f"device-init probe exited {r.returncode}; "
+                    "tunnel present but no TPU behind it"
+                )
+        except subprocess.TimeoutExpired:
+            _die(
+                "device-init probe hung >240s: relay endpoint accepts TCP "
+                "but the relay is dead (init spins forever in native code)"
+            )
     return jax.devices()
 
 
