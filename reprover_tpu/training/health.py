@@ -119,6 +119,36 @@ class DivergenceGuard:
             self._bad_streak = 0
 
 
+def embedding_anisotropy(embeddings: np.ndarray) -> dict:
+    """Off-diagonal cosine statistics of an [N, D] embedding probe batch.
+
+    The round-5 flagship post-mortem's measured discriminator for whether
+    an init can feed the reference's MSE retrieval recipe
+    (`/root/reference/retrieval/model.py:217-228` label-matrix loss):
+    MSE-trainable inits probe ``cos_offdiag_mean`` ≈ 0.91 with std ≈ 0.027
+    (random byt5/d256 — both fine-tune to R@1 80 on the hard benchmark),
+    while every span-corruption checkpoint probes ≈ 0.999 with std below
+    0.001 and parks at the all-zeros MSE floor (BASELINE.md round 5:
+    "Why span-corruption pretraining CANNOT feed the MSE recipe"). The
+    std is the load-bearing number: it IS the similarity spread the MSE
+    gradient works with. Logged every validation alongside
+    :func:`embedding_eff_rank`; unlike a zero-shot retrieval probe it
+    needs no (context, premise) supervision, so the pretrain CLI can
+    compute it from its corpus-only val batch.
+    """
+    e = np.asarray(embeddings, np.float64)
+    if e.ndim != 2 or e.shape[0] < 2:
+        return {"cos_offdiag_mean": float("nan"), "cos_offdiag_std": float("nan")}
+    norms = np.linalg.norm(e, axis=1, keepdims=True)
+    e = e / np.maximum(norms, 1e-12)
+    g = e @ e.T
+    off = g[~np.eye(g.shape[0], dtype=bool)]
+    return {
+        "cos_offdiag_mean": float(off.mean()),
+        "cos_offdiag_std": float(off.std()),
+    }
+
+
 def embedding_eff_rank(embeddings: np.ndarray) -> float:
     """Entropy effective rank of an [N, D] embedding probe batch.
 

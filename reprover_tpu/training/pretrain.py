@@ -382,7 +382,10 @@ def run_fit(cfg: PretrainConfig) -> None:
     # healthy encoder probes >> 1, the round-4 collapsed lineage ~1.2.
     from reprover_tpu.models.t5 import encode as _encode
     from reprover_tpu.ops.pooling import masked_mean_normalize
-    from reprover_tpu.training.health import embedding_eff_rank
+    from reprover_tpu.training.health import (
+        embedding_anisotropy,
+        embedding_eff_rank,
+    )
     from reprover_tpu.training.tasks import numeric_batch
 
     @jax.jit
@@ -406,6 +409,10 @@ def run_fit(cfg: PretrainConfig) -> None:
                 )
             )
             metrics["emb_eff_rank"] = embedding_eff_rank(emb)
+            # round-5 lesson: anisotropy (cos spread), not pretrain loss,
+            # predicts whether the init can feed the MSE fine-tune —
+            # watch cos_offdiag_std: healthy inits ~0.03, doomed <0.001.
+            metrics.update(embedding_anisotropy(emb))
         return metrics
 
     trainer = Trainer(cfg.trainer, step_fn, writer, validate_fn=validate)

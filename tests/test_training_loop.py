@@ -546,6 +546,28 @@ class TestTrainingHealth:
         assert r_collapsed < 2.0, r_collapsed
         assert r_iso > 16.0, r_iso
 
+    def test_anisotropy_separates_mse_trainable_from_doomed(self):
+        """The round-5 discriminator: MSE-trainable inits have off-diag
+        cos spread ~0.03 (random byt5/d256); span-corruption checkpoints
+        probe ~0.999 mean with std < 0.001 and park at the MSE floor."""
+        from reprover_tpu.training.health import embedding_anisotropy
+
+        rng = np.random.default_rng(0)
+        # doomed geometry: one dominant shared direction + tiny residual
+        shared = rng.normal(size=(1, 64))
+        doomed = shared + 0.01 * rng.normal(size=(32, 64))
+        # trainable geometry: shared direction + substantial residual
+        trainable = shared + 0.45 * rng.normal(size=(32, 64))
+        d = embedding_anisotropy(doomed)
+        t = embedding_anisotropy(trainable)
+        assert d["cos_offdiag_mean"] > 0.99, d
+        assert d["cos_offdiag_std"] < 0.005, d
+        assert t["cos_offdiag_std"] > 0.01, t
+        assert t["cos_offdiag_mean"] < 0.98, t
+        # degenerate input doesn't crash the validation loop
+        nan = embedding_anisotropy(np.zeros((1, 8)))
+        assert np.isnan(nan["cos_offdiag_mean"])
+
     def test_trainer_aborts_on_divergence(self, tmp_path):
         import jax.numpy as jnp
 
