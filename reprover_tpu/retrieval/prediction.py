@@ -61,6 +61,19 @@ def validation_metrics(
         for j in range(num_retrieved)
     }
     metrics["MRR"] = float(np.mean(mrr)) if mrr else 0.0
+    # Representation health on the freshly reindexed corpus embeddings
+    # (training/health.py): the round-5 flagship post-mortem showed the
+    # live R@k can erode or collapse while train loss stays flat; eff-rank
+    # + off-diag cosine spread make that visible at every validation.
+    if getattr(retriever, "corpus_embeddings", None) is not None:
+        from reprover_tpu.training.health import (
+            embedding_anisotropy,
+            embedding_eff_rank,
+        )
+
+        probe = np.asarray(retriever.corpus_embeddings[:512])
+        metrics["emb_eff_rank"] = embedding_eff_rank(probe)
+        metrics.update(embedding_anisotropy(probe))
     return metrics
 
 
