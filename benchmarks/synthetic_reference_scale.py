@@ -68,6 +68,12 @@ _ap.add_argument("--from-saved", action="store_true",
                  help="skip retriever/generator training: load the params "
                  "pickles + predictions from --root and go straight to the "
                  "prover (fast attribution-driven intervention reruns)")
+_ap.add_argument("--gen-continue", type=int, default=0,
+                 help="with --from-saved: continue training the saved "
+                 "generator this many extra steps before the prover stage "
+                 "(attribution-driven intervention: the generator_rank "
+                 "bucket dominates and gen loss was still descending at "
+                 "the original budget)")
 _ap.add_argument("--prover-expansions", type=int, default=10)
 _ap.add_argument("--prover-beams", type=int, default=8,
                  help="num_sampled_tactics for the prover stage")
@@ -327,6 +333,38 @@ def generator_and_prover(preds_path, make_tac_gen, tag: str) -> float:
     if _ARGS.from_saved and os.path.exists(gen_pkl):
         gen_params = _load_params(gen_pkl)
         log(stage="generator_from_saved", path=gen_pkl)
+        cont_pkl = (
+            f"{ROOT}/generator_params_{tag}_cont{_ARGS.gen_continue}.pkl"
+        )
+        if _ARGS.gen_continue > 0 and os.path.exists(cont_pkl):
+            gen_params = _load_params(cont_pkl)
+            log(stage="generator_from_saved", path=cont_pkl)
+        elif _ARGS.gen_continue > 0:
+            # Attribution-driven intervention (BASELINE.md round 5): the
+            # generator_rank bucket holds 117/118 failures and the original
+            # 6k-step run's loss was still descending — continue the same
+            # constant-lr schedule from the saved params.
+            gtx = make_optimizer(3e-4, 200)
+            gstate = init_train_state(gen_params, gtx)
+            gstep = make_train_step(generation_loss, cfg, gtx)
+            n = 0
+            t0 = time.time()
+            done = False
+            while not done:
+                for batch in gdm.train_dataloader():
+                    gstate, gloss = gstep(gstate, numeric_batch(batch))
+                    n += 1
+                    if n % 200 == 0:
+                        log(stage="generation_train_cont", rag=tag, step=n,
+                            loss=float(gloss),
+                            sps=round(n / (time.time() - t0), 2))
+                    if n >= _ARGS.gen_continue:
+                        done = True
+                        break
+            gen_params = gstate.params
+            _save_params(gen_params, cont_pkl)
+            log(stage="generator_continued", steps=_ARGS.gen_continue,
+                path=cont_pkl)
     else:
         if _ARGS.init_hf:
             from reprover_tpu.models import load_hf_t5
