@@ -68,6 +68,14 @@ _ap.add_argument("--from-saved", action="store_true",
                  help="skip retriever/generator training: load the params "
                  "pickles + predictions from --root and go straight to the "
                  "prover (fast attribution-driven intervention reruns)")
+_ap.add_argument("--retr-continue", type=int, default=0,
+                 help="with --from-saved: continue training the saved "
+                 "retriever this many extra steps (then reindex) before "
+                 "the prover stage. Mechanism-driven intervention: the "
+                 "probe showed the generator copies the retrieval rank-1 "
+                 "premise name, so Pass@1 tracks R@1^steps and the "
+                 "retriever's R@1 curve was still climbing at the "
+                 "original budget")
 _ap.add_argument("--gen-continue", type=int, default=0,
                  help="with --from-saved: continue training the saved "
                  "generator this many extra steps before the prover stage "
@@ -195,6 +203,50 @@ def main():
         retriever.load_corpus(dm.corpus)
         retriever.mark_stale()
         log(stage="from_saved", note="retriever params + predictions reused")
+        if _ARGS.retr_continue > 0:
+            cont_pkl = f"{ROOT}/retriever_params_cont{_ARGS.retr_continue}.pkl"
+            if os.path.exists(cont_pkl):
+                retriever.params = _load_params(cont_pkl)
+                log(stage="retriever_from_saved", path=cont_pkl)
+            else:
+                # Mechanism-driven intervention (BASELINE.md round 5): the
+                # generator copies the retrieval rank-1 premise name, so
+                # Pass@1 tracks R@1^steps; continue the retriever on the
+                # original schedule (its R@1 curve was still climbing).
+                tx = make_optimizer(_ARGS.lr, _ARGS.warmup)
+                state = init_train_state(retriever.params, tx)
+                loss_fn = (retrieval_loss if _ARGS.loss == "mse"
+                           else retrieval_infonce_loss)
+                step = make_train_step(loss_fn, cfg, tx)
+                n = 0
+                t0 = time.time()
+                done = False
+                while not done:
+                    for batch in dm.train_dataloader():
+                        state, loss = step(state, numeric_batch(batch))
+                        n += 1
+                        if n % 200 == 0:
+                            log(stage="retrieval_train_cont", step=n,
+                                loss=float(loss),
+                                sps=round(n / (time.time() - t0), 2))
+                        if n >= _ARGS.retr_continue:
+                            done = True
+                            break
+                retriever.params = state.params
+                _save_params(state.params, cont_pkl)
+                log(stage="retriever_continued", steps=_ARGS.retr_continue,
+                    path=cont_pkl)
+            retriever.mark_stale()
+            t0 = time.time()
+            m = validation_metrics(
+                retriever, dm.val_dataloader(), num_retrieved=NUM_RETRIEVED
+            )
+            log(stage="retrieval_eval_cont",
+                R1=round(m["Recall@1_val"], 2),
+                R10=round(m["Recall@10_val"], 2),
+                R100=round(m["Recall@100_val"], 2),
+                MRR=round(m["MRR"], 4),
+                eval_s=round(time.time() - t0, 1))
         generator_and_prover(
             f"{ROOT}/predictions.pickle",
             lambda gen_model: RetrievalAugmentedTacticGenerator(
