@@ -20,6 +20,20 @@ HF in ``tests/test_beam_search.py`` — as a single jit-able
   generated_len counting the EOS (HF ``generated_len = cur_len -
   decoder_prompt_len``).
 
+Diverse (grouped) beam search — HF ``num_beam_groups`` +
+``diversity_penalty`` (Vijayakumar et al., the HF
+``HammingDiversityLogitsProcessor`` + ``_group_beam_search`` semantics) —
+is the same while_loop with the per-step selection split into ``G``
+sequential groups of ``K/G`` beams: group ``g``'s log-probs are penalized
+by ``diversity_penalty ×`` the per-token frequency of the tokens groups
+``0..g-1`` just selected (done groups contribute ``pad`` tokens, mirroring
+HF's dummy pads), each group keeps its own finished pool and done flag, and
+finalize merges across groups. With ``num_beam_groups=1`` the loop is a
+single group and the program is token-for-token the classic search.
+Motivation (BASELINE.md round-5 attribution): plain beams spend their width
+on per-character spelling variants of one candidate; Hamming groups force
+the width onto genuinely different candidates.
+
 The model plugs in through two callables, so the same search serves the T5
 decoder, a causal LM, or a mocked step function in tests.
 """
@@ -91,8 +105,10 @@ def beam_search(
     pad_id: int,
     start_id: Any,  # int scalar or [batch] int array
     length_penalty: float = 0.0,
+    num_beam_groups: int = 1,
+    diversity_penalty: float = 0.0,
 ) -> BeamSearchResult:
-    """Run beam search.
+    """Run (optionally grouped/diverse) beam search.
 
     ``step_fn(cache, tokens[B*K]) -> (logits[B*K, V] fp32, cache)`` feeds the
     token at the current position; ``reorder_fn(cache, flat_parent[B*K])``
@@ -100,8 +116,18 @@ def beam_search(
     the decoder start token (HF convention). ``start_id`` may be a scalar
     (encoder-decoder: the decoder start token) or an ``[batch]`` array
     (decoder-only: each prompt's last real token).
+
+    ``num_beam_groups > 1`` enables HF diverse beam search: ``num_beams``
+    must divide evenly; group ``g`` is penalized by ``diversity_penalty``
+    per same-step token chosen by groups ``< g``.
     """
     B, K = batch_size, num_beams
+    G = num_beam_groups
+    if K % G != 0:
+        raise ValueError(
+            f"num_beams={K} must be divisible by num_beam_groups={G}"
+        )
+    Kg = K // G
     T = max_length
     start_id = jnp.broadcast_to(jnp.asarray(start_id, jnp.int32), (B,))
 
@@ -117,19 +143,18 @@ def beam_search(
         .at[:, :, 0]
         .set(start_id[:, None])
     )
+    # Only the FIRST beam of each group live initially so each group's first
+    # expansion is unique (HF initializes beam scores to 0 at ::group_size).
+    scores_row = jnp.full((K,), NEG_INF, jnp.float32).at[::Kg].set(0.0)
     state0 = dict(
         n=jnp.asarray(1, jnp.int32),  # current sequence length (incl. start)
         tokens=tokens0,
         last_token=jnp.tile(start_id[:, None], (1, K)),
-        # Only beam 0 live initially so the first expansion is unique (HF
-        # initializes beam scores to [0, -1e9, ...]).
-        beam_scores=jnp.tile(
-            jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1)
-        ),
+        beam_scores=jnp.tile(scores_row, (B, 1)),
         fin_tokens=jnp.full((B, K, T), pad_id, jnp.int32),
         fin_scores=jnp.full((B, K), NEG_INF, jnp.float32),
         fin_lens=jnp.zeros((B, K), jnp.int32),
-        done=jnp.zeros((B,), bool),
+        done=jnp.zeros((B, G), bool),  # per (batch, group), HF BeamHypotheses
         cache=cache,
     )
 
@@ -141,56 +166,107 @@ def beam_search(
         logits, cache = step_fn(s["cache"], s["last_token"].reshape(B * K))
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         V = logp.shape[-1]
+        logp = logp.reshape(B, K, V)
 
-        cand_scores, parent, token = topk_candidates(
-            s["beam_scores"][:, :, None] + logp.reshape(B, K, V), 2 * K
-        )  # [B, 2K] sorted
-        is_eos = token == eos_id
+        # Per-step token frequency from earlier groups (Hamming diversity);
+        # HF counts a done group's dummy pad selections too.
+        freq = jnp.zeros((B, V), jnp.float32)
+        pad_freq = jnp.zeros((V,), jnp.float32).at[pad_id].add(float(Kg))
 
-        # --- continuing beams: best K non-eos candidates (in sorted order).
-        cont_scores, cont_pos = jax.lax.top_k(
-            jnp.where(is_eos, NEG_INF, cand_scores), K
-        )
-        cont_parent = jnp.take_along_axis(parent, cont_pos, axis=1)
-        cont_token = jnp.take_along_axis(token, cont_pos, axis=1)
+        cont_scores_g, cont_parent_g, cont_token_g = [], [], []
+        new_tokens_g, fin_scores_g, fin_tokens_g, fin_lens_g = [], [], [], []
+        newly_done_g = []
+        for g in range(G):  # static unroll; groups are sequential by design
+            sl = slice(g * Kg, (g + 1) * Kg)
+            logp_slice = logp[:, sl]
+            if g > 0 and diversity_penalty > 0.0:
+                logp_slice = logp_slice - diversity_penalty * freq[:, None, :]
 
-        new_tokens = jnp.take_along_axis(
-            s["tokens"], cont_parent[:, :, None], axis=1
-        )
-        new_tokens = jax.lax.dynamic_update_slice_in_dim(
-            new_tokens, cont_token[:, :, None], n, axis=2
-        )
+            cand_scores, parent, token = topk_candidates(
+                s["beam_scores"][:, sl, None] + logp_slice, 2 * Kg
+            )  # [B, 2Kg] sorted
+            is_eos = token == eos_id
 
-        # --- finished pool: eos candidates ranked < K join the pool.
-        # Hypothesis tokens = parent prefix (eos appended for decoding);
-        # generated_len counts the eos: cur_len - prompt = (n+1) - 1 = n.
-        rank_ok = (
-            jnp.arange(2 * K)[None, :] < K
-        )  # HF: worse-than-top-K eos is dropped
-        eos_new_scores = jnp.where(
-            is_eos & rank_ok, norm(cand_scores, jnp.full_like(cand_scores, n)), NEG_INF
-        )  # [B, 2K]
-        eos_tokens = jnp.take_along_axis(s["tokens"], parent[:, :, None], axis=1)
-        eos_tokens = jax.lax.dynamic_update_slice_in_dim(
-            eos_tokens, jnp.full((B, 2 * K, 1), eos_id, jnp.int32), n, axis=2
-        )  # [B, 2K, T]
+            # --- continuing beams: best Kg non-eos candidates (sorted).
+            cont_scores, cont_pos = jax.lax.top_k(
+                jnp.where(is_eos, NEG_INF, cand_scores), Kg
+            )
+            cont_parent = jnp.take_along_axis(parent, cont_pos, axis=1)
+            cont_token = jnp.take_along_axis(token, cont_pos, axis=1)
 
-        merged_scores = jnp.concatenate([s["fin_scores"], eos_new_scores], axis=1)
-        merged_tokens = jnp.concatenate([s["fin_tokens"], eos_tokens], axis=1)
-        merged_lens = jnp.concatenate(
-            [s["fin_lens"], jnp.full((B, 2 * K), n + 1, jnp.int32)], axis=1
-        )
-        fin_scores, keep = jax.lax.top_k(merged_scores, K)
-        fin_tokens = jnp.take_along_axis(merged_tokens, keep[:, :, None], axis=1)
-        fin_lens = jnp.take_along_axis(merged_lens, keep, axis=1)
+            toks = s["tokens"][:, sl]
+            new_tokens = jnp.take_along_axis(
+                toks, cont_parent[:, :, None], axis=1
+            )
+            new_tokens = jax.lax.dynamic_update_slice_in_dim(
+                new_tokens, cont_token[:, :, None], n, axis=2
+            )
 
-        # --- termination heuristic (early_stopping=False).
-        num_fin = jnp.sum(fin_scores > NEG_INF, axis=1)
-        best_attainable = norm(
-            cand_scores[:, 0], jnp.full((B,), n, jnp.float32)
-        )
-        worst_fin = fin_scores[:, K - 1]
-        newly_done = (num_fin >= K) & (worst_fin >= best_attainable)
+            # --- finished pool: eos candidates ranked < Kg join the pool.
+            # Hypothesis tokens = parent prefix (eos appended for decoding);
+            # generated_len counts the eos: cur_len - prompt = (n+1) - 1 = n.
+            rank_ok = (
+                jnp.arange(2 * Kg)[None, :] < Kg
+            )  # HF: worse-than-top-Kg eos is dropped
+            eos_new_scores = jnp.where(
+                is_eos & rank_ok,
+                norm(cand_scores, jnp.full_like(cand_scores, n)),
+                NEG_INF,
+            )  # [B, 2Kg]
+            eos_tokens = jnp.take_along_axis(toks, parent[:, :, None], axis=1)
+            eos_tokens = jax.lax.dynamic_update_slice_in_dim(
+                eos_tokens, jnp.full((B, 2 * Kg, 1), eos_id, jnp.int32), n, axis=2
+            )  # [B, 2Kg, T]
+
+            merged_scores = jnp.concatenate(
+                [s["fin_scores"][:, sl], eos_new_scores], axis=1
+            )
+            merged_tokens = jnp.concatenate(
+                [s["fin_tokens"][:, sl], eos_tokens], axis=1
+            )
+            merged_lens = jnp.concatenate(
+                [s["fin_lens"][:, sl], jnp.full((B, 2 * Kg), n + 1, jnp.int32)],
+                axis=1,
+            )
+            fin_scores, keep = jax.lax.top_k(merged_scores, Kg)
+            fin_tokens = jnp.take_along_axis(
+                merged_tokens, keep[:, :, None], axis=1
+            )
+            fin_lens = jnp.take_along_axis(merged_lens, keep, axis=1)
+
+            # --- termination heuristic (early_stopping=False), per group.
+            num_fin = jnp.sum(fin_scores > NEG_INF, axis=1)
+            best_attainable = norm(
+                cand_scores[:, 0], jnp.full((B,), n, jnp.float32)
+            )
+            worst_fin = fin_scores[:, Kg - 1]
+            newly_done = (num_fin >= Kg) & (worst_fin >= best_attainable)
+
+            if G > 1 and diversity_penalty > 0.0 and g < G - 1:
+                picked = jax.nn.one_hot(cont_token, V, dtype=jnp.float32).sum(
+                    axis=1
+                )  # [B, V]
+                freq = freq + jnp.where(
+                    s["done"][:, g][:, None], pad_freq[None, :], picked
+                )
+
+            cont_scores_g.append(cont_scores)
+            cont_parent_g.append(cont_parent + g * Kg)  # group-local → global
+            cont_token_g.append(cont_token)
+            new_tokens_g.append(new_tokens)
+            fin_scores_g.append(fin_scores)
+            fin_tokens_g.append(fin_tokens)
+            fin_lens_g.append(fin_lens)
+            newly_done_g.append(newly_done)
+
+        cont_scores = jnp.concatenate(cont_scores_g, axis=1)  # [B, K]
+        cont_parent = jnp.concatenate(cont_parent_g, axis=1)
+        cont_token = jnp.concatenate(cont_token_g, axis=1)
+        new_tokens = jnp.concatenate(new_tokens_g, axis=1)  # [B, K, T]
+        fin_scores = jnp.concatenate(fin_scores_g, axis=1)
+        fin_tokens = jnp.concatenate(fin_tokens_g, axis=1)
+        fin_lens = jnp.concatenate(fin_lens_g, axis=1)
+        newly_done = jnp.stack(newly_done_g, axis=1)  # [B, G]
 
         # --- reorder the incremental cache to follow the chosen parents.
         flat_parent = (
@@ -198,10 +274,10 @@ def beam_search(
         ).reshape(B * K)
         cache = reorder_fn(cache, flat_parent)
 
-        # Frozen batches keep their state (cache updates are harmless).
-        done_b = s["done"]
+        # Frozen (batch, group)s keep their state (cache updates harmless).
+        done_k = jnp.repeat(s["done"], Kg, axis=1)  # [B, K]
         keep_old = lambda old, new: jnp.where(
-            done_b.reshape((B,) + (1,) * (new.ndim - 1)), old, new
+            done_k.reshape((B, K) + (1,) * (new.ndim - 2)), old, new
         )
         return dict(
             n=n + 1,
@@ -211,17 +287,19 @@ def beam_search(
             fin_tokens=keep_old(s["fin_tokens"], fin_tokens),
             fin_scores=keep_old(s["fin_scores"], fin_scores),
             fin_lens=keep_old(s["fin_lens"], fin_lens),
-            done=done_b | newly_done,
+            done=s["done"] | newly_done,
             cache=cache,
         )
 
     s = jax.lax.while_loop(cond, body, state0)
 
-    # Finalize: batches not done merge their running beams as hypotheses
-    # (generated_len = n - 1, no eos — HF finalize semantics).
+    # Finalize: (batch, group)s not done merge their running beams as
+    # hypotheses (generated_len = n - 1, no eos — HF finalize semantics);
+    # the best K across groups are returned (HF merges group pools).
     n = s["n"]
+    done_k = jnp.repeat(s["done"], Kg, axis=1)  # [B, K]
     run_scores = jnp.where(
-        s["done"][:, None], NEG_INF, norm(s["beam_scores"], jnp.full((B, K), n - 1, jnp.float32))
+        done_k, NEG_INF, norm(s["beam_scores"], jnp.full((B, K), n - 1, jnp.float32))
     )
     merged_scores = jnp.concatenate([s["fin_scores"], run_scores], axis=1)
     merged_tokens = jnp.concatenate([s["fin_tokens"], s["tokens"]], axis=1)

@@ -69,7 +69,34 @@ def _hf_beams(model, ids, mask, num_beams, max_length, length_penalty):
     return seqs, scores
 
 
-def _ours(path, ids, mask, num_beams, max_length, length_penalty):
+def _hf_diverse(
+    model, ids, mask, num_beams, num_beam_groups, diversity_penalty,
+    max_length, length_penalty,
+):
+    import torch
+
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+            max_length=max_length,
+            num_beams=num_beams,
+            num_beam_groups=num_beam_groups,
+            diversity_penalty=diversity_penalty,
+            length_penalty=length_penalty,
+            do_sample=False,
+            num_return_sequences=num_beams,
+            early_stopping=False,
+            output_scores=True,
+            return_dict_in_generate=True,
+        )
+    seqs = out.sequences.numpy().reshape(B, num_beams, -1)
+    scores = out.sequences_scores.numpy().reshape(B, num_beams)
+    return seqs, scores
+
+
+def _ours(path, ids, mask, num_beams, max_length, length_penalty,
+          num_beam_groups=1, diversity_penalty=0.0):
     params, cfg = load_hf_t5(path)
     from reprover_tpu.models import encode as t5_encode
     from reprover_tpu.models import init_decode_state, decode_step
@@ -107,6 +134,8 @@ def _ours(path, ids, mask, num_beams, max_length, length_penalty):
         pad_id=cfg.pad_token_id,
         start_id=cfg.decoder_start_token_id,
         length_penalty=length_penalty,
+        num_beam_groups=num_beam_groups,
+        diversity_penalty=diversity_penalty,
     )
 
 
@@ -144,6 +173,76 @@ def test_beam_parity(hf_ckpt, inputs, num_beams, max_length, length_penalty):
             # (pad=0 is falsy -> fill is eos=1, a known HF quirk); the tail
             # carries no content, only the first L tokens are the hypothesis.
             assert np.all(np.isin(hf_row[L:], [0, 1]))
+
+
+@pytest.mark.parametrize(
+    "num_beams,num_beam_groups,diversity_penalty,max_length,length_penalty",
+    [
+        (4, 2, 1.0, 10, 0.0),  # two groups, the canonical DBS setting
+        (8, 4, 1.0, 16, 0.0),  # 4 groups of 2
+        (4, 4, 0.5, 12, 1.0),  # singleton groups, HF-default lp
+        (8, 2, 2.0, 16, 0.0),  # strong penalty
+    ],
+)
+def test_diverse_beam_parity(
+    hf_ckpt, inputs, num_beams, num_beam_groups, diversity_penalty,
+    max_length, length_penalty,
+):
+    """Grouped (diverse) beam search vs HF `_group_beam_search`: sequences
+    AND sequences_scores, including the Hamming diversity penalty and the
+    per-(batch, group) done/finalize semantics."""
+    path, model = hf_ckpt
+    ids, mask = inputs
+    hf_seqs, hf_scores = _hf_diverse(
+        model, ids, mask, num_beams, num_beam_groups, diversity_penalty,
+        max_length, length_penalty,
+    )
+    res = _ours(
+        path, ids, mask, num_beams, max_length, length_penalty,
+        num_beam_groups=num_beam_groups, diversity_penalty=diversity_penalty,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.scores), hf_scores, rtol=2e-4, atol=2e-5
+    )
+    ours_seqs = np.asarray(res.sequences)
+    ours_lens = np.asarray(res.lengths)
+    for b in range(B):
+        for k in range(num_beams):
+            L = ours_lens[b, k]
+            np.testing.assert_array_equal(
+                ours_seqs[b, k, :L],
+                hf_seqs[b, k][:L],
+                err_msg=f"b={b} k={k} len={L}",
+            )
+            assert np.all(np.isin(hf_seqs[b, k][L:], [0, 1]))
+
+
+def test_diverse_groups_decorrelate(hf_ckpt, inputs):
+    """The property the penalty exists for: with a strong penalty, the
+    groups' top hypotheses must not all share the classic search's first
+    generated token (plain beams here are near-duplicates of one stem)."""
+    path, model = hf_ckpt
+    ids, mask = inputs
+    plain = _ours(path, ids, mask, 8, 12, 0.0)
+    diverse = _ours(
+        path, ids, mask, 8, 12, 0.0, num_beam_groups=4, diversity_penalty=10.0
+    )
+    p = np.asarray(plain.sequences)[:, :, 1]
+    d = np.asarray(diverse.sequences)[:, :, 1]
+    for b in range(B):
+        assert len(set(d[b].tolist())) > len(set(p[b].tolist())) or len(
+            set(p[b].tolist())
+        ) == 8
+
+
+def test_diverse_group_validation():
+    from reprover_tpu.generation.beam_search import beam_search
+
+    with pytest.raises(ValueError, match="divisible"):
+        beam_search(
+            None, None, None, batch_size=1, num_beams=4, max_length=4,
+            eos_id=1, pad_id=0, start_id=0, num_beam_groups=3,
+        )
 
 
 def test_generator_model_generate(hf_ckpt):
